@@ -1,0 +1,181 @@
+"""Shading: sky/texture sampling and scatter.
+
+Reference device code: getSkyColor (RayTracing.shader:197-220), scatter /
+reflectRay / refractRay / reflectance (shader:590-649), accumulateColor
+(shader:550-588).  All functions are vectorized over a leading lane axis and
+thread the PCG seed explicitly (see ops/rng.py); branch divergence becomes
+masked selects with per-branch seed advancement so the per-lane RNG stream is
+bit-identical to the reference's SIMT execution.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import rng
+from .intersect import dot3, normalize
+
+PI = np.float32(np.pi)
+TWO_PI = np.float32(2.0 * np.pi)
+OFFSET = np.float32(1.0e-4)  # hit-point normal offset (shader:616,621,628)
+
+
+# ---------------------------------------------------------------------------
+# Texture sampling
+# ---------------------------------------------------------------------------
+
+def _bilinear_gather(img, yi, xi):
+    """img (H,W,3); yi/xi (...,) int32 already wrapped/clamped."""
+    return img[yi, xi]
+
+
+def sample_bilinear(img, u, v, wrap: str):
+    """GPU-convention bilinear sample of img (H,W,3) at normalized (u,v).
+
+    texel center convention: x = u*W - 0.5.  wrap: 'repeat' (Vulkan
+    REPEAT, scene textures) or 'clamp' (CLAMP_TO_EDGE, sky map) — matches the
+    sampler modes the reference creates (VulkanTexture.cpp:338-343,
+    RayTracing.cpp:843 sky = Linear+ClampToEdge, scene textures default
+    Linear+Repeat per Texture.h:32-35).
+    Returns (...,3).
+    """
+    h, w = img.shape[0], img.shape[1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    if wrap == "repeat":
+        x0, x1 = x0 % w, x1 % w
+        y0, y1 = y0 % h, y1 % h
+    else:
+        x0, x1 = jnp.clip(x0, 0, w - 1), jnp.clip(x1, 0, w - 1)
+        y0, y1 = jnp.clip(y0, 0, h - 1), jnp.clip(y1, 0, h - 1)
+    c00 = _bilinear_gather(img, y0, x0)
+    c01 = _bilinear_gather(img, y0, x1)
+    c10 = _bilinear_gather(img, y1, x0)
+    c11 = _bilinear_gather(img, y1, x1)
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sample_texture_array(textures, tex_size, tex_id, u, v):
+    """Sample the bindless texture array (shader:578) for per-lane tex_id.
+
+    textures: (K,TH,TW,3) padded stack; tex_size: (K,2) actual (H,W).
+    Wrap = repeat within each texture's true extent.  tex_id < 0 lanes return
+    zeros (callers mask them out anyway).
+    """
+    k = textures.shape[0]
+    tid = jnp.clip(tex_id, 0, k - 1)
+    hw = tex_size[tid]                                   # (...,2)
+    h = hw[..., 0].astype(jnp.float32)
+    w = hw[..., 1].astype(jnp.float32)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    hi = hw[..., 0]
+    wi = hw[..., 1]
+    x0 = jnp.mod(x0f.astype(jnp.int32), wi)
+    x1 = jnp.mod(x0f.astype(jnp.int32) + 1, wi)
+    y0 = jnp.mod(y0f.astype(jnp.int32), hi)
+    y1 = jnp.mod(y0f.astype(jnp.int32) + 1, hi)
+    c00 = textures[tid, y0, x0]
+    c01 = textures[tid, y0, x1]
+    c10 = textures[tid, y1, x0]
+    c11 = textures[tid, y1, x1]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def sky_color(direction, sky):
+    """Equirect sky sample (shader:216-218): uv = (atan2(z,x)/2pi,
+    asin(y)/pi) + 0.5, Linear + ClampToEdge."""
+    u = jnp.arctan2(direction[..., 2], direction[..., 0]) / TWO_PI + 0.5
+    v = jnp.arcsin(jnp.clip(direction[..., 1], -1.0, 1.0)) / PI + 0.5
+    return sample_bilinear(sky, u, v, wrap="clamp")
+
+
+def sphere_uv(normal):
+    """Sphere UV from the unit normal (shader:245)."""
+    u = jnp.arctan2(normal[..., 2], normal[..., 0]) / TWO_PI + 0.5
+    v = jnp.arcsin(jnp.clip(normal[..., 1], -1.0, 1.0)) / PI + 0.5
+    return u, v
+
+
+# ---------------------------------------------------------------------------
+# Scatter
+# ---------------------------------------------------------------------------
+
+def reflect(d, n):
+    """GLSL reflect."""
+    return d - 2.0 * dot3(d, n)[..., None] * n
+
+
+def refract(i, n, eta):
+    """GLSL refract incl. the zero-vector total-internal-reflection result."""
+    ndi = dot3(n, i)[..., None]
+    k = 1.0 - eta[..., None] ** 2 * (1.0 - ndi * ndi)
+    out = eta[..., None] * i - (eta[..., None] * ndi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
+    return jnp.where(k >= 0.0, out, 0.0)
+
+
+def scatter(origin, direction, seed, hit_pos, hit_normal,
+            m_roughness, m_metallic, m_refraction):
+    """One scatter step for every lane; returns (new_origin, new_direction,
+    new_seed).  Lanes where refraction_ratio > 1 take the dielectric path
+    (1 RNG draw), others the diffuse/specular path (6 draws); both streams are
+    evaluated from the same incoming seed and masked, reproducing per-thread
+    SIMT seed evolution exactly (shader:637-649).
+    """
+    is_refract = m_refraction > 1.0
+
+    # --- dielectric branch (shader:590-624) -------------------------------
+    is_front = dot3(direction, hit_normal) < 0.0
+    rt = jnp.where(is_front, 1.0 / m_refraction, m_refraction)
+    hn = jnp.where(is_front[..., None], hit_normal, -hit_normal)
+    cos_theta = jnp.minimum(dot3(-direction, hn), 1.0)
+    sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
+    cannot_refract = rt * sin_theta > 1.0
+    r0 = ((1.0 - rt) / (1.0 + rt)) ** 2
+    r0p = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+    rand_refl, seed_refr = rng.fast_random(seed)
+    do_reflect = cannot_refract | (r0p > rand_refl)
+    o_refr = jnp.where(do_reflect[..., None], hit_pos + hn * OFFSET, hit_pos - hn * OFFSET)
+    d_refr = jnp.where(do_reflect[..., None], reflect(direction, hn), refract(direction, hn, rt))
+
+    # --- diffuse/specular branch (shader:626-635) --------------------------
+    o_refl = hit_pos + hit_normal * OFFSET
+    r3a, s1 = rng.random_unit_sphere(seed)
+    diffuse_dir = normalize(hit_normal + r3a)
+    r3b, s2 = rng.random_unit_sphere(s1)
+    spec_dir = normalize(reflect(direction, hit_normal) + r3b * (1.0 - m_metallic)[..., None])
+    rough = m_roughness[..., None]
+    d_refl = normalize(diffuse_dir * (1.0 - rough) + spec_dir * rough)
+
+    mask = is_refract[..., None]
+    new_origin = jnp.where(mask, o_refr, o_refl)
+    new_direction = jnp.where(mask, d_refr, d_refl)
+    new_seed = jnp.where(is_refract, seed_refr, s2)
+    return new_origin, new_direction, new_seed
+
+
+FLAT_LIGHT_DIR = np.array([-1.0, -1.0, -1.0], np.float32) / np.float32(np.sqrt(3.0))
+
+
+def flat_shade(albedo, normal):
+    """MaxBounces==1 preview mode (shader:566-571).  The reference calls
+    clamp(0.0, 0.5, dot(-N, L)) with swapped min/max arguments, which in GLSL
+    resolves to min(0.5, dot(-N, L)); preserved exactly."""
+    d = dot3(-normal, jnp.asarray(FLAT_LIGHT_DIR))
+    return albedo * (jnp.minimum(jnp.float32(0.5), d) + 0.5)[..., None]

@@ -1,0 +1,237 @@
+"""The renderer: camera ray generation + progressive path tracing dispatch.
+
+This is the TPU-native re-expression of the reference's compute megakernel
+main/traceRay (RayTracing.shader:651-722): every pixel is a lane of dense
+(N,...) arrays, the bounce recursion is a `lax.scan`, SIMT branch divergence
+is masked selects, and per-thread RNG streams are reproduced bit-exactly
+(ops/rng.py).  One call = one dispatch = `MaxFrames` samples per pixel,
+returning radiance already divided by MaxFrames (shader:711); progressive
+frame accumulation across dispatches lives in runtime/renderer.py.
+
+The whole function is jit-compiled; it is also the differentiable path —
+`jax.grad` flows through the scan (material gradients exactly; geometry
+gradients with detached hit topology, see diff/).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..models.camera import CameraSpec
+from ..models.scene import TracerScene
+from . import rng
+from .intersect import (FLT_MAX, TriFeatures, _mm, dot3, nearest_sphere,
+                        nearest_triangle, normalize)
+from .shade import (flat_shade, sample_texture_array, scatter, sky_color,
+                    sphere_uv)
+
+
+def pixel_grid(width: int, height: int):
+    """Row-major pixel ids: x (N,), y (N,) with N = W*H; image[y, x]."""
+    n = width * height
+    lin = jnp.arange(n, dtype=jnp.int32)
+    return lin % width, lin // width
+
+
+def camera_ray_basis(cam: CameraSpec, cfg: RenderConfig):
+    """Per-pixel focus points + camera frame (shader:684-691).
+
+    Returns (focus_point (N,3), right (3,), up (3,), position (3,)).
+    pixelCoord = index/Resolution; coord = invP @ (2*(px,py,1,1)-1);
+    direction = (invV @ (coord.xyz/coord.w, 0)).xyz * focusDistance.
+    """
+    x, y = pixel_grid(cfg.width, cfg.height)
+    px = x.astype(jnp.float32) / jnp.float32(cfg.width)
+    py = y.astype(jnp.float32) / jnp.float32(cfg.height)
+    ndc = jnp.stack([2.0 * px - 1.0, 2.0 * py - 1.0,
+                     jnp.ones_like(px), jnp.ones_like(px)], axis=-1)   # (N,4)
+    coord = _mm(ndc, cam.inv_projection.T)                              # (N,4)
+    c3 = coord[:, :3] / coord[:, 3:4]
+    d4 = jnp.concatenate([c3, jnp.zeros_like(c3[:, :1])], axis=-1)
+    direction = _mm(d4, cam.inv_view.T)[:, :3] * cam.focus_distance
+    focus_point = cam.position[None, :] + direction
+    right = cam.inv_view[:3, 0]
+    up = cam.inv_view[:3, 1]
+    return focus_point, right, up, cam.position
+
+
+def _gather(arr, idx):
+    return jnp.take(arr, idx, axis=0)
+
+
+def _triangle_t_from_idx(scene: TracerScene, origin, direction, idx):
+    """Differentiable hit distance for a known winning triangle.
+
+    The Pallas sweep returns only the argmin index (detached topology); the
+    distance is recomputed here in XLA by gathering that triangle so that
+    gradients flow to ray and vertex parameters (SURVEY.md Phase 4)."""
+    ti = jnp.clip(idx, 0, scene.num_triangles - 1)
+    a = _gather(scene.tri_wa, ti)
+    b = _gather(scene.tri_wb, ti)
+    c = _gather(scene.tri_wc, ti)
+    n = jnp.cross(b - a, c - a)
+    det = -dot3(direction, n)
+    t = dot3(origin - a, n) / jnp.where(det == 0.0, 1.0, det)
+    return jnp.where(idx >= 0, t, FLT_MAX)
+
+
+def bounce_payload(scene: TracerScene, feats: TriFeatures, origin, direction,
+                   chunk: int, backend: str = "xla"):
+    """bounceRay + closestHit (shader:510-548, 235-283) over all lanes.
+
+    Returns dict of per-lane hit data. Sphere wins distance ties (the
+    reference checks triangles with strict `<` after spheres).
+    backend: 'xla' (chunked scan sweep) | 'pallas' (TPU kernel) |
+    'pallas_interpret' (kernel in interpreter mode, for CPU tests)."""
+    t_s, i_s = nearest_sphere(origin, direction, scene.sph_pos, scene.sph_radius)
+    if backend == "xla" or scene.num_triangles == 0:
+        t_t, i_t = nearest_triangle(origin, direction, feats, chunk=chunk)
+    else:
+        from .pallas.intersect_kernel import nearest_triangle_pallas
+        _, i_t = nearest_triangle_pallas(
+            origin, direction, scene.tri_wa, scene.tri_wb, scene.tri_wc,
+            interpret=(backend == "pallas_interpret"))
+        t_t = _triangle_t_from_idx(scene, origin, direction, i_t)
+    use_tri = t_t < t_s
+    t = jnp.where(use_tri, t_t, t_s)
+    hit = t < FLT_MAX
+    hit_pos = origin + t[:, None] * direction
+
+    n = origin.shape[0]
+    if scene.num_spheres > 0:
+        si = jnp.clip(i_s, 0, scene.num_spheres - 1)
+        s_center = _gather(scene.sph_pos, si)
+        s_normal = normalize(hit_pos - s_center)
+        s_u, s_v = sphere_uv(s_normal)
+        s_mat = _gather(scene.sph_mat, si)
+    else:
+        s_normal = jnp.zeros((n, 3), jnp.float32)
+        s_u = s_v = jnp.zeros((n,), jnp.float32)
+        s_mat = jnp.zeros((n,), jnp.int32)
+
+    if scene.num_triangles > 0:
+        ti = jnp.clip(i_t, 0, scene.num_triangles - 1)
+        t_normal = _gather(scene.tri_normal, ti)
+        t_mat = _gather(scene.tri_mat, ti)
+        # Reference UV quirk (shader:257-268): barycentrics from *world* ray
+        # against *local* vertices/edges — reproduced exactly.
+        la = _gather(scene.tri_la, ti)
+        lab = _gather(scene.tri_lab, ti)
+        lac = _gather(scene.tri_lac, ti)
+        uvs = _gather(scene.tri_uv, ti)                  # (N,3,2)
+        ao = origin - la
+        dao = jnp.cross(ao, direction)
+        nvec = jnp.cross(lab, lac)
+        det = -dot3(direction, nvec)
+        inv_det = 1.0 / det
+        u = dot3(lac, dao) * inv_det
+        v = -dot3(lab, dao) * inv_det
+        w = 1.0 - u - v
+        t_uv = uvs[:, 0] * w[:, None] + uvs[:, 1] * u[:, None] + uvs[:, 2] * v[:, None]
+        t_u, t_v = t_uv[:, 0], t_uv[:, 1]
+    else:
+        t_normal = jnp.zeros((n, 3), jnp.float32)
+        t_u = t_v = jnp.zeros((n,), jnp.float32)
+        t_mat = jnp.zeros((n,), jnp.int32)
+
+    use_tri3 = use_tri[:, None]
+    return dict(
+        t=t, hit=hit, hit_pos=hit_pos,
+        normal=jnp.where(use_tri3, t_normal, s_normal),
+        u=jnp.where(use_tri, t_u, s_u),
+        v=jnp.where(use_tri, t_v, s_v),
+        mat=jnp.where(use_tri, t_mat, s_mat),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "backend"))
+def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
+                    cfg: RenderConfig, chunk: int = 512, backend: str = "xla"):
+    """One dispatch (shader main, :675-722 minus the accumulation-image I/O).
+
+    frame_index: traced uint32 scalar (1-based accumulation counter).
+    backend: 'xla' | 'pallas' | 'pallas_interpret' (see bounce_payload).
+    Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples.
+    """
+    feats = TriFeatures.build(scene.tri_wa, scene.tri_wb, scene.tri_wc)
+    focus_point, right, up, position = camera_ray_basis(cam, cfg)
+    x, y = pixel_grid(cfg.width, cfg.height)
+    n = cfg.num_pixels
+    frame_index = jnp.asarray(frame_index, jnp.uint32)
+
+    draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
+    mats = scene.materials
+    res = jnp.array([cfg.width, cfg.height], jnp.float32)
+
+    incoming = jnp.zeros((n, 3), jnp.float32)
+    for frame in range(1, cfg.max_frames + 1):
+        seed = rng.pixel_seed(x, y, cfg.width, frame, frame_index)
+        focus_jitter, seed = rng.random_circle_point(seed)
+        focus_jitter = focus_jitter / res * cam.defocus_strength
+        dev_jitter, seed = rng.random_circle_point(seed)
+        dev_jitter = dev_jitter / res * cam.blur_strength
+
+        dev_focus = (focus_point
+                     + dev_jitter[:, :1] * right[None, :]
+                     + dev_jitter[:, 1:2] * up[None, :])
+        origin = (position[None, :]
+                  + focus_jitter[:, :1] * right[None, :]
+                  + focus_jitter[:, 1:2] * up[None, :])
+        direction = normalize(dev_focus - origin)
+
+        def bounce(carry, i):
+            o, d, sd, color, contrib, alive = carry
+            sd = sd + i.astype(jnp.uint32)                      # shader:659
+            p = bounce_payload(scene, feats, o, d, chunk, backend)
+
+            # miss -> sky (shader:663-666)
+            sky = sky_color(d, scene.sky)
+            miss_now = alive & ~p["hit"]
+            color = jnp.where(miss_now[:, None],
+                              color + sky * contrib * draw_env, color)
+
+            live = alive & p["hit"]
+            m_rough = _gather(mats.roughness, p["mat"])
+            m_metal = _gather(mats.metallic, p["mat"])
+            m_refr = _gather(mats.refraction_ratio, p["mat"])
+            m_albedo = _gather(mats.albedo, p["mat"])
+            m_emc = _gather(mats.emission_color, p["mat"])
+            m_emp = _gather(mats.emission_power, p["mat"])
+            m_tex = _gather(mats.texture_id, p["mat"])
+
+            no, nd, nsd = scatter(o, d, sd, p["hit_pos"], p["normal"],
+                                  m_rough, m_metal, m_refr)
+
+            if cfg.max_bounces == 1:
+                shade_val = flat_shade(m_albedo, p["normal"])   # shader:566-571
+                color = jnp.where(live[:, None], shade_val, color)
+            else:
+                has_tex = m_tex >= 0
+                alb_tex = sample_texture_array(scene.textures, scene.tex_size,
+                                               m_tex, p["u"], p["v"])
+                emis = jnp.where(has_tex[:, None],
+                                 alb_tex * m_emp[:, None],
+                                 m_emc * m_emp[:, None])        # shader:575-585
+                albedo = jnp.where(has_tex[:, None], alb_tex, m_albedo)
+                color = jnp.where(live[:, None], color + emis * contrib, color)
+                contrib = jnp.where(live[:, None], contrib * albedo, contrib)
+
+            o = jnp.where(live[:, None], no, o)
+            d = jnp.where(live[:, None], nd, d)
+            sd = jnp.where(live, nsd, sd)
+            alive = live
+            return (o, d, sd, color, contrib, alive), None
+
+        init = (origin, direction, seed,
+                jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32),
+                jnp.ones((n,), bool))
+        (o, d, sd, color, contrib, alive), _ = jax.lax.scan(
+            bounce, init, jnp.arange(cfg.max_bounces, dtype=jnp.uint32))
+        incoming = incoming + color
+
+    incoming = incoming / jnp.float32(cfg.max_frames)           # shader:711
+    return incoming.reshape(cfg.height, cfg.width, 3)
