@@ -58,6 +58,16 @@ def normalize(v, axis=-1):
     return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
 
 
+def safe_normalize(v, eps=1e-20):
+    """normalize() whose gradient stays finite at ||v|| -> 0.
+
+    Used wherever masked-out lanes can carry degenerate vectors: with plain
+    normalize, a NaN produced on a lane that jnp.where later discards still
+    poisons the backward pass (0 * NaN = NaN)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(sq, eps))
+
+
 # ---------------------------------------------------------------------------
 # Spheres
 # ---------------------------------------------------------------------------
@@ -79,8 +89,15 @@ def sphere_hits(origin, direction, sph_pos, sph_radius):
     b = 2.0 * jnp.sum(oc3 * direction[:, None, :], axis=-1)    # (N,S)
     c = jnp.sum(oc3 * oc3, axis=-1) - (sph_radius * sph_radius)[None, :]
     delta = b * b - 4.0 * a * c
-    t = (-b - jnp.sqrt(jnp.maximum(delta, 0.0))) / (2.0 * a)
-    valid = (delta >= 0.0) & (t >= 0.0)
+    # double-where: sqrt has infinite slope at 0, so missed pairs
+    # (delta < 0) must never reach sqrt's gradient (0 * inf = NaN).
+    # Exact tangents (delta == 0) are a real singularity — dt/dparam is
+    # infinite there — so the sqrt argument is floored: forward changes by
+    # <= 1e-6/(2a) (below f32 noise), gradients stay finite.
+    hit_delta = delta >= 0.0
+    delta_safe = jnp.where(hit_delta, jnp.maximum(delta, 1e-12), 1.0)
+    t = (-b - jnp.sqrt(delta_safe)) / (2.0 * a)
+    valid = hit_delta & (t >= 0.0)
     return jnp.where(valid, t, FLT_MAX)
 
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rng
-from .intersect import dot3, normalize
+from .intersect import dot3, safe_normalize
 
 PI = np.float32(np.pi)
 TWO_PI = np.float32(2.0 * np.pi)
@@ -102,14 +102,14 @@ def sky_color(direction, sky):
     """Equirect sky sample (shader:216-218): uv = (atan2(z,x)/2pi,
     asin(y)/pi) + 0.5, Linear + ClampToEdge."""
     u = jnp.arctan2(direction[..., 2], direction[..., 0]) / TWO_PI + 0.5
-    v = jnp.arcsin(jnp.clip(direction[..., 1], -1.0, 1.0)) / PI + 0.5
+    v = jnp.arcsin(jnp.clip(direction[..., 1], -1.0 + 1e-6, 1.0 - 1e-6)) / PI + 0.5
     return sample_bilinear(sky, u, v, wrap="clamp")
 
 
 def sphere_uv(normal):
     """Sphere UV from the unit normal (shader:245)."""
     u = jnp.arctan2(normal[..., 2], normal[..., 0]) / TWO_PI + 0.5
-    v = jnp.arcsin(jnp.clip(normal[..., 1], -1.0, 1.0)) / PI + 0.5
+    v = jnp.arcsin(jnp.clip(normal[..., 1], -1.0 + 1e-6, 1.0 - 1e-6)) / PI + 0.5
     return u, v
 
 
@@ -126,7 +126,7 @@ def refract(i, n, eta):
     """GLSL refract incl. the zero-vector total-internal-reflection result."""
     ndi = dot3(n, i)[..., None]
     k = 1.0 - eta[..., None] ** 2 * (1.0 - ndi * ndi)
-    out = eta[..., None] * i - (eta[..., None] * ndi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
+    out = eta[..., None] * i - (eta[..., None] * ndi + jnp.sqrt(jnp.maximum(k, 1e-12))) * n
     return jnp.where(k >= 0.0, out, 0.0)
 
 
@@ -142,10 +142,12 @@ def scatter(origin, direction, seed, hit_pos, hit_normal,
 
     # --- dielectric branch (shader:590-624) -------------------------------
     is_front = dot3(direction, hit_normal) < 0.0
-    rt = jnp.where(is_front, 1.0 / m_refraction, m_refraction)
+    rt = jnp.where(is_front, 1.0 / jnp.where(m_refraction == 0.0, 1.0, m_refraction), m_refraction)
     hn = jnp.where(is_front[..., None], hit_normal, -hit_normal)
     cos_theta = jnp.minimum(dot3(-direction, hn), 1.0)
-    sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
+    # grad-safe sqrt: at exact normal incidence sqrt(0) has infinite slope,
+    # and this branch is evaluated (then masked) for every lane
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12))
     cannot_refract = rt * sin_theta > 1.0
     r0 = ((1.0 - rt) / (1.0 + rt)) ** 2
     r0p = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
@@ -157,11 +159,11 @@ def scatter(origin, direction, seed, hit_pos, hit_normal,
     # --- diffuse/specular branch (shader:626-635) --------------------------
     o_refl = hit_pos + hit_normal * OFFSET
     r3a, s1 = rng.random_unit_sphere(seed)
-    diffuse_dir = normalize(hit_normal + r3a)
+    diffuse_dir = safe_normalize(hit_normal + r3a)
     r3b, s2 = rng.random_unit_sphere(s1)
-    spec_dir = normalize(reflect(direction, hit_normal) + r3b * (1.0 - m_metallic)[..., None])
+    spec_dir = safe_normalize(reflect(direction, hit_normal) + r3b * (1.0 - m_metallic)[..., None])
     rough = m_roughness[..., None]
-    d_refl = normalize(diffuse_dir * (1.0 - rough) + spec_dir * rough)
+    d_refl = safe_normalize(diffuse_dir * (1.0 - rough) + spec_dir * rough)
 
     mask = is_refract[..., None]
     new_origin = jnp.where(mask, o_refr, o_refl)

@@ -25,7 +25,7 @@ from ..models.camera import CameraSpec
 from ..models.scene import TracerScene
 from . import rng
 from .intersect import (FLT_MAX, TriFeatures, _mm, dot3, nearest_sphere,
-                        nearest_triangle, normalize)
+                        nearest_triangle, normalize, safe_normalize)
 from .shade import (flat_shade, sample_texture_array, scatter, sky_color,
                     sphere_uv)
 
@@ -37,14 +37,17 @@ def pixel_grid(width: int, height: int):
     return lin % width, lin // width
 
 
-def camera_ray_basis(cam: CameraSpec, cfg: RenderConfig):
+def camera_ray_basis(cam: CameraSpec, cfg: RenderConfig, x=None, y=None):
     """Per-pixel focus points + camera frame (shader:684-691).
 
     Returns (focus_point (N,3), right (3,), up (3,), position (3,)).
     pixelCoord = index/Resolution; coord = invP @ (2*(px,py,1,1)-1);
     direction = (invV @ (coord.xyz/coord.w, 0)).xyz * focusDistance.
+    x/y: explicit pixel coordinates (defaults to the full cfg grid) — the
+    sharded renderer passes per-device row bands here.
     """
-    x, y = pixel_grid(cfg.width, cfg.height)
+    if x is None:
+        x, y = pixel_grid(cfg.width, cfg.height)
     px = x.astype(jnp.float32) / jnp.float32(cfg.width)
     py = y.astype(jnp.float32) / jnp.float32(cfg.height)
     ndc = jnp.stack([2.0 * px - 1.0, 2.0 * py - 1.0,
@@ -99,13 +102,15 @@ def bounce_payload(scene: TracerScene, feats: TriFeatures, origin, direction,
     use_tri = t_t < t_s
     t = jnp.where(use_tri, t_t, t_s)
     hit = t < FLT_MAX
-    hit_pos = origin + t[:, None] * direction
+    # masked lanes: FLT_MAX * direction overflows to inf and poisons grads
+    t_safe = jnp.where(hit, t, 0.0)
+    hit_pos = origin + t_safe[:, None] * direction
 
     n = origin.shape[0]
     if scene.num_spheres > 0:
         si = jnp.clip(i_s, 0, scene.num_spheres - 1)
         s_center = _gather(scene.sph_pos, si)
-        s_normal = normalize(hit_pos - s_center)
+        s_normal = safe_normalize(hit_pos - s_center)
         s_u, s_v = sphere_uv(s_normal)
         s_mat = _gather(scene.sph_mat, si)
     else:
@@ -127,7 +132,7 @@ def bounce_payload(scene: TracerScene, feats: TriFeatures, origin, direction,
         dao = jnp.cross(ao, direction)
         nvec = jnp.cross(lab, lac)
         det = -dot3(direction, nvec)
-        inv_det = 1.0 / det
+        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
         u = dot3(lac, dao) * inv_det
         v = -dot3(lab, dao) * inv_det
         w = 1.0 - u - v
@@ -148,19 +153,21 @@ def bounce_payload(scene: TracerScene, feats: TriFeatures, origin, direction,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk", "backend"))
-def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
-                    cfg: RenderConfig, chunk: int = 512, backend: str = "xla"):
-    """One dispatch (shader main, :675-722 minus the accumulation-image I/O).
+def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
+                  cfg: RenderConfig, chunk: int = 512, backend: str = "xla",
+                  remat: bool = False):
+    """Trace an arbitrary set of pixels (x, y): the core dispatch.
 
-    frame_index: traced uint32 scalar (1-based accumulation counter).
-    backend: 'xla' | 'pallas' | 'pallas_interpret' (see bounce_payload).
-    Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples.
+    This is the unit both the full-frame renderer and the multi-chip
+    sharded renderer build on (each device traces its row band).  `remat`
+    rematerializes each bounce in the backward pass instead of storing all
+    per-bounce residuals — the 'long-context memory' treatment of the bounce
+    scan (SURVEY.md §5.7, hard part #3).
+    Returns (N, 3) radiance averaged over cfg.max_frames samples.
     """
     feats = TriFeatures.build(scene.tri_wa, scene.tri_wb, scene.tri_wc)
-    focus_point, right, up, position = camera_ray_basis(cam, cfg)
-    x, y = pixel_grid(cfg.width, cfg.height)
-    n = cfg.num_pixels
+    focus_point, right, up, position = camera_ray_basis(cam, cfg, x, y)
+    n = x.shape[0]
     frame_index = jnp.asarray(frame_index, jnp.uint32)
 
     draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
@@ -229,9 +236,26 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
         init = (origin, direction, seed,
                 jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32),
                 jnp.ones((n,), bool))
+        body = jax.checkpoint(bounce) if remat else bounce
         (o, d, sd, color, contrib, alive), _ = jax.lax.scan(
-            bounce, init, jnp.arange(cfg.max_bounces, dtype=jnp.uint32))
+            body, init, jnp.arange(cfg.max_bounces, dtype=jnp.uint32))
         incoming = incoming + color
 
-    incoming = incoming / jnp.float32(cfg.max_frames)           # shader:711
+    return incoming / jnp.float32(cfg.max_frames)               # shader:711
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "backend", "remat"))
+def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
+                    cfg: RenderConfig, chunk: int = 512, backend: str = "xla",
+                    remat: bool = False):
+    """One full-frame dispatch (shader main :675-722, minus the
+    accumulation-image I/O which lives in runtime/renderer.py).
+
+    frame_index: traced uint32 scalar (1-based accumulation counter).
+    backend: 'xla' | 'pallas' | 'pallas_interpret' (see bounce_payload).
+    Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples.
+    """
+    x, y = pixel_grid(cfg.width, cfg.height)
+    incoming = render_pixels(scene, cam, x, y, frame_index, cfg, chunk,
+                             backend, remat)
     return incoming.reshape(cfg.height, cfg.width, 3)

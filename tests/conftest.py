@@ -7,15 +7,27 @@ TPU is attached AND RTM_TPU_TESTS=1.
 """
 import os
 
-# Hard override: the host environment may export JAX_PLATFORMS=axon (TPU);
-# unit tests must run hermetically on CPU (TPU runs go through bench/).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# IMPORTANT environment note: the host bakes a TPU-tunnel PJRT plugin into
+# every interpreter via sitecustomize, which imports jax at interpreter
+# start — so the JAX_PLATFORMS *env var* is already consumed before this
+# file runs, and setting os.environ here is a no-op.  jax.config.update is
+# the only reliable override.  Without it, "CPU" tests silently execute on
+# the tunneled TPU: ~20x slower compiles (remote compile round-trips),
+# bf16-default matmuls, and hangs when the remote worker is wedged.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# persistent compile cache: the renderer's scan graphs are compile-heavy
+jax.config.update("jax_compilation_cache_dir", "/tmp/rtm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_configure(config):

@@ -117,7 +117,7 @@ def bilinear(img, u, v, wrap):
 
 def sky_color(direction, sky):
     u = np.arctan2(direction[..., 2], direction[..., 0]) / (2.0 * PI) + 0.5
-    v = np.arcsin(np.clip(direction[..., 1], -1, 1)) / PI + 0.5
+    v = np.arcsin(np.clip(direction[..., 1], -1 + 1e-6, 1 - 1e-6)) / PI + 0.5
     return bilinear(sky, u, v, "clamp").astype(np.float32)
 
 
@@ -215,7 +215,7 @@ def render_oracle(ts, cam, cfg, frame_index, tri_dtype=np.float64):
                 sidx = np.clip(idx, 0, len(sc.sph_pos) - 1)
                 snrm = normalize(hp - sc.sph_pos[sidx])
                 su = np.arctan2(snrm[:, 2], snrm[:, 0]) / (2 * PI) + 0.5
-                sv = np.arcsin(np.clip(snrm[:, 1], -1, 1)) / PI + 0.5
+                sv = np.arcsin(np.clip(snrm[:, 1], -1 + 1e-6, 1 - 1e-6)) / PI + 0.5
                 nrm = np.where(is_sph[:, None], snrm, nrm)
                 uu = np.where(is_sph, su, uu)
                 vv = np.where(is_sph, sv, vv)
