@@ -1,0 +1,86 @@
+"""Headline benchmark: forward path-tracing throughput on the Cornell box.
+
+Config per BASELINE.md: scene 3 (Cornell box + dragon, reference
+RayTracing/src/RayTracing.cpp:702-806), 512x512, 8 bounces, 1 sample per
+dispatch, progressive accumulation — measured around block_until_ready.
+
+Prints ONE JSON line:
+  {"metric": "cornell_grays_per_s", "value": N, "unit": "Grays/s/chip",
+   "vs_baseline": N}
+vs_baseline is against the 2 Grays/s/chip north-star target (the reference
+publishes no numbers — BASELINE.md).
+
+Rays counted = W*H*spp*max_bounces per dispatch (every lane traces every
+bounce on this dense design; early-terminated lanes still occupy vector
+slots, so this is the honest hardware-throughput number).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+# allow CPU fallback runs: RTM_BENCH_PLATFORM=cpu (config.update, not env:
+# the host sitecustomize imports jax before this script runs)
+if os.environ.get("RTM_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["RTM_BENCH_PLATFORM"])
+
+import jax.numpy as jnp
+
+
+def main() -> None:
+    width = int(os.environ.get("RTM_BENCH_WIDTH", 512))
+    height = int(os.environ.get("RTM_BENCH_HEIGHT", 512))
+    bounces = int(os.environ.get("RTM_BENCH_BOUNCES", 8))
+    spp = int(os.environ.get("RTM_BENCH_SPP", 1))
+    scene_id = int(os.environ.get("RTM_BENCH_SCENE", 3))
+    backend = os.environ.get("RTM_BENCH_BACKEND", "auto")
+    repeats = int(os.environ.get("RTM_BENCH_REPEATS", 20))
+
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+    from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
+    from rtm_tpu.ops.trace_ref import render_dispatch
+
+    cfg = RenderConfig(width=width, height=height, max_bounces=bounces,
+                       max_frames=spp, draw_environment=True, accumulate=True)
+    scene = build_tracer_scene(load_scene(scene_id))
+    cam = Camera().spec(cfg.width, cfg.height)
+
+    def dispatch(fi):
+        return render_dispatch(scene, cam, fi, cfg, backend=backend)
+
+    # warmup / compile.  NB: under the axon TPU tunnel, block_until_ready
+    # alone can return before execution completes until a host transfer has
+    # synchronized the stream — so the measurement protocol reads one pixel
+    # of the final frame back to the host inside the timed region.
+    out = dispatch(jnp.uint32(1))
+    _ = float(jnp.asarray(out).ravel()[0])
+
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        out = dispatch(jnp.uint32(2 + i))
+    jax.block_until_ready(out)
+    _ = float(out.ravel()[0])
+    dt = time.perf_counter() - t0
+
+    rays = width * height * spp * bounces * repeats
+    grays_per_s = rays / dt / 1e9
+    print(json.dumps({
+        "metric": "cornell_grays_per_s",
+        "value": round(grays_per_s, 4),
+        "unit": "Grays/s/chip",
+        "vs_baseline": round(grays_per_s / 2.0, 4),
+    }))
+    print(f"# platform={jax.devices()[0].platform} backend={backend} "
+          f"{width}x{height} bounces={bounces} spp={spp} repeats={repeats} "
+          f"wall={dt:.3f}s ms/frame={1e3 * dt / repeats:.2f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -198,7 +198,10 @@ def nearest_triangle(origin, direction, feats: TriFeatures, chunk: int = 512):
         return (jnp.where(better, tmin, best_t),
                 jnp.where(better, gidx.astype(jnp.int32), best_i)), None
 
-    init = (jnp.full((n,), FLT_MAX), jnp.full((n,), -1, jnp.int32))
+    # init derived from the (possibly shard_map-varying) rays so the scan
+    # carry typechecks under varying manual axes
+    zero = origin[:, 0] * 0.0
+    init = (zero + FLT_MAX, zero.astype(jnp.int32) - 1)
     (best_t, best_idx), _ = jax.lax.scan(body, init, (jnp.arange(nchunks), f))
     best_idx = jnp.where(best_t < FLT_MAX, best_idx, -1)
     return best_t, best_idx

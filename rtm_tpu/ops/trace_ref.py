@@ -233,9 +233,11 @@ def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
             alive = live
             return (o, d, sd, color, contrib, alive), None
 
+        # carries derived from varying inputs so the scan typechecks when
+        # this whole function runs inside shard_map (axis-varying types)
         init = (origin, direction, seed,
-                jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32),
-                jnp.ones((n,), bool))
+                jnp.zeros_like(origin), jnp.ones_like(origin),
+                x == x)
         body = jax.checkpoint(bounce) if remat else bounce
         (o, d, sd, color, contrib, alive), _ = jax.lax.scan(
             body, init, jnp.arange(cfg.max_bounces, dtype=jnp.uint32))
