@@ -41,7 +41,8 @@ def main() -> None:
     repeats = int(os.environ.get("RTM_BENCH_REPEATS", 20))
 
     if backend == "auto":
-        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        backend = ("megakernel" if jax.devices()[0].platform == "tpu"
+                   else "xla")
 
     from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
     from rtm_tpu.ops.trace_ref import render_dispatch

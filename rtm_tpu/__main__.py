@@ -1,0 +1,182 @@
+"""CLI entry — `python -m rtm_tpu <command>`.
+
+The reference's startup chain (EntryPoint.h:6-9 -> Startup.cpp:18-52)
+launches a windowed app; the TPU-native framework is headless-first, so the
+entry point is a CLI (SURVEY C1):
+
+  render    render a scene to PNG (progressive accumulation)
+  bench     one JSON line of headline throughput (same as bench.py)
+  measure   orbit-camera perf sweep -> Measure.txt (C29 parity)
+  viewperf  summarize/plot a Measure.txt (viewPerf.py parity)
+  scenes    list built-in scenes
+  optimize  inverse-rendering demo (adam on scene params vs a target)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_render_args(p):
+    p.add_argument("--scene", type=int, default=3, help="built-in scene 1-5")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--bounces", type=int, default=8,
+                   help="MaxBounces (reference UI range 1-15)")
+    p.add_argument("--spp", type=int, default=1,
+                   help="samples per dispatch (reference MaxFrames, 1-5)")
+    p.add_argument("--frames", type=int, default=16,
+                   help="progressive accumulation dispatches")
+    p.add_argument("--no-environment", action="store_true",
+                   help="disable sky lighting (DrawEnvironment=0)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas", "megakernel"])
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (e.g. cpu)")
+
+
+def _setup(args):
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from rtm_tpu import (Camera, RenderConfig, build_tracer_scene,
+                         load_scene)
+    backend = args.backend
+    if backend == "auto":
+        backend = ("megakernel" if jax.devices()[0].platform == "tpu"
+                   else "xla")
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_bounces=args.bounces, max_frames=args.spp,
+                       draw_environment=not args.no_environment)
+    scene = build_tracer_scene(load_scene(args.scene))
+    cam = Camera()
+    return scene, cam, cfg, backend
+
+
+def cmd_render(args) -> int:
+    import numpy as np
+
+    from rtm_tpu.io.image import save_png
+    from rtm_tpu.runtime.renderer import render_progressive
+
+    scene, cam, cfg, backend = _setup(args)
+    img = np.asarray(render_progressive(
+        scene, cam.spec(cfg.width, cfg.height), cfg, args.frames,
+        backend=backend))
+    save_png(args.out, img[::-1])   # row 0 looks down (kernel parity)
+    print(f"wrote {args.out}  ({cfg.width}x{cfg.height}, "
+          f"{args.frames} frames, backend={backend})")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """Delegates to the repo-root bench.py (one JSON line, driver format)."""
+    import os
+    import runpy
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = os.path.join(root, "bench.py")
+    runpy.run_path(bench, run_name="__main__")
+    return 0
+
+
+def cmd_measure(args) -> int:
+    from rtm_tpu.bench.measure import run_measure, summarize
+
+    scene, cam, cfg, backend = _setup(args)
+    arr = run_measure(scene, cfg, out_path=args.out, radius=args.radius,
+                      backend=backend, camera=cam)
+    stats = summarize(arr)
+    print(f"Mean: {stats['mean_fps']}")
+    print(f"Max: {stats['max_fps']}")
+    print(f"Min: {stats['min_fps']}")
+    return 0
+
+
+def cmd_viewperf(args) -> int:
+    from rtm_tpu.bench.view_perf import main as vp
+    vp(args.file, plot=not args.no_plot, save=args.save)
+    return 0
+
+
+def cmd_scenes(args) -> int:
+    from rtm_tpu.models.scenes import SCENES
+    for sid, fn in sorted(SCENES.items()):
+        doc = (fn.__doc__ or "").splitlines()[0]
+        print(f"{sid}: {doc}")
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    """Self-demo of BASELINE config 5: render a target with the true scene,
+    perturb the material parameters, recover them by Adam descent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtm_tpu.diff.inverse import InverseRenderConfig, inverse_render
+    from rtm_tpu.diff.params import apply_params, extract_params
+    from rtm_tpu.io.image import save_png
+    from rtm_tpu.ops.trace_ref import render_dispatch
+
+    scene, cam, cfg, backend = _setup(args)
+    spec = cam.spec(cfg.width, cfg.height)
+    target = render_dispatch(scene, spec, jnp.uint32(1), cfg)
+    true_params = extract_params(scene)
+    init = jax.tree.map(
+        lambda x: x * 0.7 + 0.1 if x.dtype == jnp.float32 else x,
+        true_params)
+    opt_cfg = InverseRenderConfig(steps=args.steps,
+                                  learning_rate=args.lr)
+    params, losses = inverse_render(scene, spec, target, cfg, opt_cfg,
+                                    init_params=init)
+    print(f"optimize: loss {losses[0]:.6f} -> {losses[-1]:.6f} "
+          f"({args.steps} steps)")
+    if args.out:
+        img = render_dispatch(apply_params(scene, params), spec,
+                              jnp.uint32(1), cfg)
+        save_png(args.out, np.asarray(img)[::-1])
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="rtm_tpu",
+        description="TPU-native differentiable progressive path tracer")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render a scene to PNG")
+    _add_render_args(p)
+    p.add_argument("--out", default="render.png")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="headline throughput (one JSON line)")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("measure", help="orbit perf sweep -> Measure.txt")
+    _add_render_args(p)
+    p.add_argument("--out", default="Measure.txt")
+    p.add_argument("--radius", type=float, default=2.0)
+    p.set_defaults(fn=cmd_measure)
+
+    p = sub.add_parser("viewperf", help="summarize/plot Measure.txt")
+    p.add_argument("file", nargs="?", default="Measure.txt")
+    p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--save", default=None, help="save plot PNG")
+    p.set_defaults(fn=cmd_viewperf)
+
+    p = sub.add_parser("scenes", help="list built-in scenes")
+    p.set_defaults(fn=cmd_scenes)
+
+    p = sub.add_parser("optimize", help="inverse-rendering demo")
+    _add_render_args(p)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_optimize)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

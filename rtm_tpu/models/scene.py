@@ -105,6 +105,11 @@ class TracerScene:
     textures: jax.Array     # (K,TH,TW,3) f32 padded stack (Repeat/Linear)
     tex_size: jax.Array     # (K,2) i32 actual (H,W) per texture
 
+    # static (non-pytree) metadata: does any material reference a texture?
+    # Kernels specialize on this (the megakernel's deferred-texture records
+    # are only emitted when true).
+    any_textured: bool = field(default=False, metadata=dict(static=True))
+
     @property
     def num_spheres(self) -> int:
         return self.sph_pos.shape[0]
@@ -131,8 +136,42 @@ def _stack_textures(textures: list[np.ndarray]):
     return jnp.asarray(stack), jnp.asarray(sizes)
 
 
-def build_tracer_scene(scene: Scene) -> TracerScene:
-    """Flatten the host scene into the device layout (SceneWrapper parity)."""
+def _morton_order(wa: np.ndarray, wb: np.ndarray, wc: np.ndarray):
+    """Triangle permutation by 3-D Morton code of the world centroid.
+
+    Spatially-close triangles land in the same 128-wide cluster, which makes
+    the Pallas kernels' per-cluster AABBs tight and their tile-uniform
+    culling effective (SURVEY.md hard part #1).  Replaces the reference's
+    per-mesh BVH triangle reordering (BVH.cpp:63-75) as the TPU-shaped
+    spatial sort.  Note: changes which triangle wins *exact* distance ties
+    vs reference buffer order (measure-zero edge hits only).
+    """
+    t = wa.shape[0]
+    if t == 0:
+        return np.zeros((0,), np.int64)
+    cen = (wa + wb + wc) / 3.0
+    lo = cen.min(axis=0)
+    span = np.maximum(cen.max(axis=0) - lo, 1e-12)
+    q = np.clip(((cen - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+    return np.argsort(code, kind="stable")
+
+
+def build_tracer_scene(scene: Scene, order: str = "morton") -> TracerScene:
+    """Flatten the host scene into the device layout (SceneWrapper parity).
+
+    order: 'morton' (default — spatially sort triangles for tight kernel
+    clusters) or 'buffer' (reference traversal order, exact tie parity).
+    """
     mats = Materials.from_list(scene.materials)
 
     if scene.spheres:
@@ -177,6 +216,16 @@ def build_tracer_scene(scene: Scene) -> TracerScene:
     tri_uv = np.concatenate(uv).astype(np.float32) if uv else np.zeros((0, 3, 2), np.float32)
     tri_mat = np.concatenate(mat) if mat else np.zeros((0,), np.int32)
 
+    if order == "morton" and tri_wa.shape[0] > 1:
+        perm = _morton_order(tri_wa, tri_wb, tri_wc)
+        tri_wa, tri_wb, tri_wc = tri_wa[perm], tri_wb[perm], tri_wc[perm]
+        tri_la, tri_lab, tri_lac = tri_la[perm], tri_lab[perm], tri_lac[perm]
+        tri_normal, tri_uv, tri_mat = tri_normal[perm], tri_uv[perm], tri_mat[perm]
+    elif order not in ("morton", "buffer"):
+        raise ValueError(f"unknown triangle order {order!r}")
+
+    any_textured = any(int(m.texture_id) >= 0 for m in scene.materials)
+
     sky = scene.sky if scene.sky is not None else np.zeros((1, 1, 3), np.float32)
     textures, tex_size = _stack_textures(scene.textures)
 
@@ -192,4 +241,5 @@ def build_tracer_scene(scene: Scene) -> TracerScene:
         tri_uv=jnp.asarray(tri_uv), tri_mat=jnp.asarray(tri_mat),
         sky=jnp.asarray(sky, jnp.float32),
         textures=textures, tex_size=tex_size,
+        any_textured=any_textured,
     )

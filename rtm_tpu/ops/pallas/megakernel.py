@@ -1,0 +1,895 @@
+"""The path-tracing megakernel: the full bounce loop fused into one Pallas
+TPU kernel.
+
+This is the TPU-native realization of the reference's single compute
+megakernel (RayTracing/assets/shaders/RayTracing.shader:651-722 main/traceRay
+and everything it calls).  The first TPU port expressed each bounce as XLA
+ops around a Pallas intersection sweep; profiling showed >90% of frame time
+went to XLA-side attribute gathers, texture sampling and per-bounce HBM
+round-trips.  Here the entire sample — camera jitter, PCG RNG, sphere +
+triangle nearest-hit sweeps, winner attribute fetch, scatter
+(diffuse/specular/dielectric), emission accumulation — runs inside one
+kernel per ray tile, with all per-ray state resident in VMEM/registers.
+
+Design (see SURVEY.md §7 hard part #1):
+
+  * rays live on the LANE axis: every per-ray quantity is a (1, R) row, so
+    scatter/RNG/shading run at full vector width; triangles/spheres live on
+    the SUBLANE axis in clusters of 128/8, so each pairwise intersection
+    term is one broadcasted (128, R) VPU op;
+  * per-cluster AABBs + the carried best-t give tile-uniform cluster
+    culling (a `lax.cond` skips clusters no live ray can improve on) — the
+    TPU-shaped stand-in for divergent per-ray BVH traversal; triangles are
+    Morton-ordered at scene build so clusters are spatially tight;
+  * the winning primitive's 32 shading attributes are fetched with a
+    one-hot (T',R) matrix against the attribute table on the MXU —
+    exact in f32 (precision=HIGHEST splits attrs into bf16 chunks whose
+    one-hot products reconstruct losslessly) — replacing XLA gathers;
+  * PCG RNG (ops/rng.py semantics) runs in-kernel on uint32 lanes,
+    bit-exact with the reference's seed stream; the uint->float conversion
+    keeps the top 24 bits (f32 mantissa), |err| <= 6e-8 vs the shader's
+    float(seed)/UINT_MAX;
+  * TPU Mosaic has no per-lane gather, so the two texture-map consumers are
+    *deferred*: the kernel emits per-bounce records (emission-known terms ×
+    material-albedo partial products, plus uv/texid) and per-sample miss
+    records (direction + contribution), and a single XLA post-pass
+    reconstructs  color = Σ_b E_b ⊙ Π_{k<b} A_k  exactly via a cumulative
+    product over texture albedos, with ONE flattened-take gather per
+    (ray, bounce) — textures/sky never enter VMEM.
+
+Numerics: f32 (the reference's f64 triangle test needs shaderFloat64;
+TPU has no fast f64 — tolerance study in tests/test_intersect.py).
+atan2/asin don't lower in Mosaic, so sphere UVs are computed in the
+post-pass from the recorded sphere normal.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RenderConfig
+from ...models.camera import CameraSpec
+from ...models.scene import TracerScene
+from ..intersect import DET_EPS
+from ..shade import OFFSET, sample_bilinear, sample_texture_array
+
+U32 = jnp.uint32
+BIG = np.float32(1e30)          # in-kernel "miss" sentinel (< FLT_MAX to keep
+                                # arithmetic finite)
+CLUSTER = 128                   # triangles per cull cluster (sublane tiles)
+DEFAULT_RAY_TILE = 512   # rays per grid step (lane axis; best measured tile)
+PI = np.float32(np.pi)
+TWO_PI = np.float32(2.0 * np.pi)
+SEED_STRIDE = np.uint32(735529)                      # shader:697
+U2F = np.float32(256.0 / 4294967295.0)               # (s>>8) -> [0,1]
+
+# attribute-table rows (32 x T')
+_A_NX, _A_NY, _A_NZ = 0, 1, 2
+_A_ALR, _A_ALG, _A_ALB = 3, 4, 5
+_A_EMR, _A_EMG, _A_EMB = 6, 7, 8
+_A_EMP, _A_ROUGH, _A_METAL, _A_REFR, _A_TEX = 9, 10, 11, 12, 13
+_A_LAX, _A_LAY, _A_LAZ = 14, 15, 16
+_A_ABX, _A_ABY, _A_ABZ = 17, 18, 19
+_A_ACX, _A_ACY, _A_ACZ = 20, 21, 22
+_A_U0, _A_V0, _A_U1, _A_V1, _A_U2, _A_V2 = 23, 24, 25, 26, 27, 28
+_A_GNX, _A_GNY, _A_GNZ, _A_GAN = 29, 30, 31, 32   # geometric n, dot(A,n):
+NUM_ATTRS = 40                                     # exact-t recovery
+
+# sphere-table columns (S' x 16): quadratic inputs + joined material
+_S_CX, _S_CY, _S_CZ, _S_R = 0, 1, 2, 3
+_S_ALR, _S_ALG, _S_ALB = 4, 5, 6
+_S_EMR, _S_EMG, _S_EMB = 7, 8, 9
+_S_EMP, _S_ROUGH, _S_METAL, _S_REFR, _S_TEX = 10, 11, 12, 13, 14
+
+# triangle feature columns (T' x 16) — see ops/intersect.py factoring.
+# (An MXU formulation of these determinants — each is linear in the ray
+# 10-vector (o,d,w,1) — was tried and measured SLOWER: the contraction
+# dim K=10 leaves 92% of the 128x128 systolic array idle, so the
+# latency-bound matmuls lose to full-width VPU broadcasts.)
+_F_NX, _F_NY, _F_NZ, _F_AN = 0, 1, 2, 3
+_F_ABX, _F_ABY, _F_ABZ = 4, 5, 6
+_F_ACX, _F_ACY, _F_ACZ = 7, 8, 9
+_F_G1X, _F_G1Y, _F_G1Z = 10, 11, 12
+_F_G2X, _F_G2Y, _F_G2Z = 13, 14, 15
+
+
+# ---------------------------------------------------------------------------
+# Scene packing
+# ---------------------------------------------------------------------------
+
+class MegaPack(NamedTuple):
+    """Device-layout scene tables for the megakernel (all jnp arrays)."""
+
+    tri_feats: jax.Array | None    # (T', 16) f32, cluster-padded
+    tri_attrs: jax.Array | None    # (40, T') f32
+    boxes: jax.Array | None        # (C, 8) f32 cluster AABBs [lo3, hi3, 0, 0]
+    spheres: jax.Array | None      # (S', 16) f32
+    n_clusters: int
+    n_spheres_padded: int
+
+
+def build_mega_pack(scene: TracerScene) -> MegaPack:
+    """Pack the flattened scene into megakernel tables.  Pure jnp — traced
+    inside the render jit, so scene-parameter gradients are N/A here (the
+    megakernel is the forward/production path; autodiff uses the XLA path).
+    """
+    t = scene.num_triangles
+    if t > 0:
+        c_count = -(-t // CLUSTER)
+        tp = c_count * CLUSTER
+        pad = tp - t
+
+        def padt(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+        a, b, c = padt(scene.tri_wa), padt(scene.tri_wb), padt(scene.tri_wc)
+        ab = b - a
+        ac = c - a
+        n = jnp.cross(ab, ac)
+        an = jnp.sum(a * n, axis=-1)
+        g1 = jnp.cross(ac, a)
+        g2 = jnp.cross(ab, a)
+
+        # padding triangles have n = 0, so det == 0 fails the det > eps gate
+        feats = jnp.stack([n[:, 0], n[:, 1], n[:, 2], an,
+                           ab[:, 0], ab[:, 1], ab[:, 2],
+                           ac[:, 0], ac[:, 1], ac[:, 2],
+                           g1[:, 0], g1[:, 1], g1[:, 2],
+                           g2[:, 0], g2[:, 1], g2[:, 2]], axis=1)  # (T',16)
+
+        mats = scene.materials
+        tm = scene.tri_mat
+        alb = jnp.take(mats.albedo, tm, axis=0)
+        emc = jnp.take(mats.emission_color, tm, axis=0)
+        emp = jnp.take(mats.emission_power, tm)
+        rough = jnp.take(mats.roughness, tm)
+        metal = jnp.take(mats.metallic, tm)
+        refr = jnp.take(mats.refraction_ratio, tm)
+        texid = jnp.take(mats.texture_id, tm).astype(jnp.float32)
+
+        def padr(x):
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+        la, lab, lac = scene.tri_la, scene.tri_lab, scene.tri_lac
+        uv = scene.tri_uv                                        # (T,3,2)
+        rows = [scene.tri_normal[:, 0], scene.tri_normal[:, 1],
+                scene.tri_normal[:, 2],
+                alb[:, 0], alb[:, 1], alb[:, 2],
+                emc[:, 0], emc[:, 1], emc[:, 2],
+                emp, rough, metal, refr, texid,
+                la[:, 0], la[:, 1], la[:, 2],
+                lab[:, 0], lab[:, 1], lab[:, 2],
+                lac[:, 0], lac[:, 1], lac[:, 2],
+                uv[:, 0, 0], uv[:, 0, 1], uv[:, 1, 0], uv[:, 1, 1],
+                uv[:, 2, 0], uv[:, 2, 1],
+                # geometric plane (unpadded slice of n/an) for exact-t
+                # recovery of the winner
+                n[:t, 0], n[:t, 1], n[:t, 2], an[:t]]
+        rows += [jnp.zeros((t,), jnp.float32)] * (NUM_ATTRS - len(rows))
+        # pad texid row with -1 so dead extractions read "no texture"
+        attrs = jnp.stack([padr(r) for r in rows], axis=0)       # (32, T')
+        attrs = attrs.at[_A_TEX, t:].set(-1.0)
+
+        verts = jnp.stack([a, b, c], axis=1)                     # (T',3,3)
+        real = jnp.arange(tp)[:, None] < t
+        vmin = jnp.where(real, verts.min(axis=1), BIG)
+        vmax = jnp.where(real, verts.max(axis=1), -BIG)
+        box_lo = vmin.reshape(c_count, CLUSTER, 3).min(axis=1)
+        box_hi = vmax.reshape(c_count, CLUSTER, 3).max(axis=1)
+        boxes = jnp.concatenate(
+            [box_lo, box_hi, jnp.zeros((c_count, 2), jnp.float32)], axis=1)
+    else:
+        feats = attrs = boxes = None
+        c_count = 0
+
+    s = scene.num_spheres
+    if s > 0:
+        sp = max(8, -(-s // 8) * 8)
+        mats = scene.materials
+        sm = scene.sph_mat
+        cols = [scene.sph_pos[:, 0], scene.sph_pos[:, 1], scene.sph_pos[:, 2],
+                scene.sph_radius,
+                jnp.take(mats.albedo, sm, axis=0)[:, 0],
+                jnp.take(mats.albedo, sm, axis=0)[:, 1],
+                jnp.take(mats.albedo, sm, axis=0)[:, 2],
+                jnp.take(mats.emission_color, sm, axis=0)[:, 0],
+                jnp.take(mats.emission_color, sm, axis=0)[:, 1],
+                jnp.take(mats.emission_color, sm, axis=0)[:, 2],
+                jnp.take(mats.emission_power, sm),
+                jnp.take(mats.roughness, sm),
+                jnp.take(mats.metallic, sm),
+                jnp.take(mats.refraction_ratio, sm),
+                jnp.take(mats.texture_id, sm).astype(jnp.float32),
+                jnp.zeros((s,), jnp.float32)]
+        sph = jnp.stack(cols, axis=1)                            # (S,16)
+        sph = jnp.pad(sph, ((0, sp - s), (0, 0)))
+        # padding spheres parked far away with r=0: can never be hit
+        sph = sph.at[s:, _S_CX:_S_CZ + 1].set(BIG)
+        sph = sph.at[s:, _S_TEX].set(-1.0)
+    else:
+        sph = None
+        sp = 0
+
+    return MegaPack(feats, attrs, boxes, sph, c_count, sp)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers (componentwise 3-vectors as (1,R) row tuples)
+# ---------------------------------------------------------------------------
+
+def _pcg(s):
+    state = s * U32(747796405) + U32(2891336453)
+    shift = (state >> U32(28)) + U32(4)
+    word = ((state >> shift) ^ state) * U32(277803737)
+    return (word >> U32(22)) ^ word
+
+
+def _rand(s):
+    """(uniform [0,1] f32, new_seed) — reference fastRandom (shader:130-134);
+    uses top 24 bits (Mosaic has no u32->f32 cast), |err| <= 6e-8."""
+    s = _pcg(s)
+    return (s >> U32(8)).astype(jnp.int32).astype(jnp.float32) * U2F, s
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _normalize(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    return x * inv, y * inv, z * inv
+
+
+def _select(m, a, b):
+    return jnp.where(m, a, b)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(*, ray_tile, n_clusters, n_sph, max_bounces, max_frames,
+                 textured, cull, width, height, early_exit):
+    """Returns the kernel fn closed over all static configuration."""
+    r = ray_tile
+    have_tris = n_clusters > 0
+    have_sph = n_sph > 0
+
+    def kernel(*refs):
+        it = iter(refs)
+        camf = next(it)                       # (1,64) f32 SMEM
+        fidx = next(it)                       # (1,1)  u32 SMEM
+        feats = next(it) if have_tris else None
+        attrs = next(it) if have_tris else None
+        boxes = next(it) if have_tris else None
+        sph = next(it) if have_sph else None
+        color_ref = next(it)                  # (8, R)
+        miss_ref = next(it)                   # (8*max_frames, R)
+        rec_ref = next(it) if textured else None  # (8*F*B, R)
+
+        if textured:
+            # pre-fill the record block: bounces skipped by the all-dead
+            # early-exit cond never store, and the post-pass needs their
+            # S-terms to be zero and their texid to read "no texture" (-1 —
+            # a zeroed texid would alias texture 0 and poison the
+            # albedo product)
+            rec_ref[:, :] = jnp.zeros((8 * max_frames * max_bounces, r),
+                                      jnp.float32)
+            for fb in range(max_frames * max_bounces):
+                rec_ref[fb * 8 + 6:fb * 8 + 7, :] = jnp.full(
+                    (1, r), -1.0, jnp.float32)
+
+        # camera scalars (host packs: invP(16), invV(16), pos(3), focusDist,
+        # defocus, blur) — column-major 4x4: m[i,j] at base + j*4 + i
+        def P(i, j):
+            return camf[0, j * 4 + i]
+
+        def V(i, j):
+            return camf[0, 16 + j * 4 + i]
+
+        posx, posy, posz = camf[0, 32], camf[0, 33], camf[0, 34]
+        focus_d, defocus, blur = camf[0, 35], camf[0, 36], camf[0, 37]
+        wf, hf = np.float32(width), np.float32(height)
+        frame_index = fidx[0, 0]
+
+        # pixel ids for this tile
+        base = pl.program_id(0) * r
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + base
+        xpix = lin % width
+        ypix = lin // width
+        lin_u = lin.astype(U32)
+
+        # camera ray basis (shader:684-691): per-pixel focus point
+        px = xpix.astype(jnp.float32) / wf
+        py = ypix.astype(jnp.float32) / hf
+        nx = 2.0 * px - 1.0
+        ny = 2.0 * py - 1.0
+        cx = P(0, 0) * nx + P(0, 1) * ny + P(0, 2) + P(0, 3)
+        cy = P(1, 0) * nx + P(1, 1) * ny + P(1, 2) + P(1, 3)
+        cz = P(2, 0) * nx + P(2, 1) * ny + P(2, 2) + P(2, 3)
+        cw = P(3, 0) * nx + P(3, 1) * ny + P(3, 2) + P(3, 3)
+        inv_w = 1.0 / cw
+        cx, cy, cz = cx * inv_w, cy * inv_w, cz * inv_w
+        dx0 = (V(0, 0) * cx + V(0, 1) * cy + V(0, 2) * cz) * focus_d
+        dy0 = (V(1, 0) * cx + V(1, 1) * cy + V(1, 2) * cz) * focus_d
+        dz0 = (V(2, 0) * cx + V(2, 1) * cy + V(2, 2) * cz) * focus_d
+        fpx, fpy, fpz = posx + dx0, posy + dy0, posz + dz0
+        rtx, rty, rtz = V(0, 0), V(1, 0), V(2, 0)      # camera right
+        upx, upy, upz = V(0, 1), V(1, 1), V(2, 1)      # camera up
+
+        col_r = jnp.zeros((1, r), jnp.float32)
+        col_g = jnp.zeros((1, r), jnp.float32)
+        col_b = jnp.zeros((1, r), jnp.float32)
+
+        if have_tris:
+            tri_rows = jax.lax.broadcasted_iota(
+                jnp.int32, (n_clusters * CLUSTER, r), 0)
+            crow = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, r), 0)
+        if have_sph:
+            srow = jax.lax.broadcasted_iota(jnp.int32, (n_sph, r), 0)
+
+        for frame in range(1, max_frames + 1):
+            # seed schedule (shader:697)
+            seed = lin_u + U32(frame) * frame_index * SEED_STRIDE
+            # focus jitter (defocus) + deviation jitter (blur), shader:699-706
+            r1, seed = _rand(seed)
+            ang = r1 * TWO_PI
+            r2, seed = _rand(seed)
+            rad = jnp.sqrt(r2)
+            fjx = jnp.cos(ang) * rad / wf * defocus
+            fjy = jnp.sin(ang) * rad / hf * defocus
+            r3, seed = _rand(seed)
+            ang2 = r3 * TWO_PI
+            r4, seed = _rand(seed)
+            rad2 = jnp.sqrt(r4)
+            djx = jnp.cos(ang2) * rad2 / wf * blur
+            djy = jnp.sin(ang2) * rad2 / hf * blur
+
+            ox = posx + fjx * rtx + fjy * upx
+            oy = posy + fjx * rty + fjy * upy
+            oz = posz + fjx * rtz + fjy * upz
+            tx = fpx + djx * rtx + djy * upx
+            ty = fpy + djx * rty + djy * upy
+            tz = fpz + djx * rtz + djy * upz
+            dx, dy, dz = _normalize(tx - ox, ty - oy, tz - oz)
+
+            ctr_r = jnp.ones((1, r), jnp.float32)   # material-albedo partial
+            ctr_g = jnp.ones((1, r), jnp.float32)   # product ("P^m")
+            ctr_b = jnp.ones((1, r), jnp.float32)
+            alive = jnp.ones((1, r), jnp.bool_)
+            m_dx = jnp.zeros((1, r), jnp.float32)
+            m_dy = jnp.zeros((1, r), jnp.float32)
+            m_dz = jnp.zeros((1, r), jnp.float32)
+            m_cr = jnp.zeros((1, r), jnp.float32)
+            m_cg = jnp.zeros((1, r), jnp.float32)
+            m_cb = jnp.zeros((1, r), jnp.float32)
+
+            carry = (ox, oy, oz, dx, dy, dz, seed, ctr_r, ctr_g, ctr_b,
+                     alive, m_dx, m_dy, m_dz, m_cr, m_cg, m_cb,
+                     col_r, col_g, col_b)
+
+            for b in range(max_bounces):
+                def bounce_body(carry, b=b, frame=frame):
+                    (ox, oy, oz, dx, dy, dz, seed, ctr_r, ctr_g, ctr_b,
+                     alive, m_dx, m_dy, m_dz, m_cr, m_cg, m_cb,
+                     col_r, col_g, col_b) = carry
+                    seed = seed + U32(b)                       # shader:659
+
+                    # ---- nearest triangle: MXU-det cluster sweep ---------
+                    wx, wy, wz = _cross(ox, oy, oz, dx, dy, dz)
+                    t_tri = jnp.full((1, r), BIG)
+                    i_tri = jnp.full((1, r), -1, jnp.int32)
+                    if have_tris:
+                        if cull:
+                            inv_dx = 1.0 / dx
+                            inv_dy = 1.0 / dy
+                            inv_dz = 1.0 / dz
+                        def cluster_pass(c, t_tri, i_tri):
+                            lane = slice(c * CLUSTER, (c + 1) * CLUSTER)
+                            f = lambda j: feats[lane, j:j + 1]   # (128,1)
+                            det = -(dx * f(_F_NX) + dy * f(_F_NY)
+                                    + dz * f(_F_NZ))
+                            tdet = (ox * f(_F_NX) + oy * f(_F_NY)
+                                    + oz * f(_F_NZ)) - f(_F_AN)
+                            udet = (wx * f(_F_ACX) + wy * f(_F_ACY)
+                                    + wz * f(_F_ACZ)) \
+                                - (dx * f(_F_G1X) + dy * f(_F_G1Y)
+                                   + dz * f(_F_G1Z))
+                            vdet = (dx * f(_F_G2X) + dy * f(_F_G2Y)
+                                    + dz * f(_F_G2Z)) \
+                                - (wx * f(_F_ABX) + wy * f(_F_ABY)
+                                   + wz * f(_F_ABZ))
+                            wdet = det - udet - vdet
+                            # validity as one min-chain: det > eps and all
+                            # other dets >= 0 (shader:301-303 gates)
+                            m = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
+                                            jnp.minimum(jnp.minimum(udet,
+                                                                    vdet),
+                                                        wdet))
+                            valid = m >= 0.0
+                            # approximate reciprocal is ordering-only: the
+                            # winner's exact t is recovered from its plane
+                            # equation after extraction
+                            ta = tdet * pl.reciprocal(
+                                jnp.maximum(det, DET_EPS), approx=True)
+                            tt = _select(valid, ta, BIG)         # (128,R)
+                            cmin = jnp.min(tt, axis=0, keepdims=True)
+                            cand = jnp.min(
+                                _select(tt == cmin, crow, jnp.int32(2 ** 30)),
+                                axis=0, keepdims=True)
+                            better = cmin < t_tri
+                            return (_select(better, cmin, t_tri),
+                                    _select(better, cand + c * CLUSTER,
+                                            i_tri))
+
+                        for c in range(n_clusters):
+                            if cull:
+                                lox, loy, loz = (boxes[c, 0], boxes[c, 1],
+                                                 boxes[c, 2])
+                                hix, hiy, hiz = (boxes[c, 3], boxes[c, 4],
+                                                 boxes[c, 5])
+                                t1x = (lox - ox) * inv_dx
+                                t2x = (hix - ox) * inv_dx
+                                t1y = (loy - oy) * inv_dy
+                                t2y = (hiy - oy) * inv_dy
+                                t1z = (loz - oz) * inv_dz
+                                t2z = (hiz - oz) * inv_dz
+                                tn = jnp.maximum(
+                                    jnp.maximum(jnp.minimum(t1x, t2x),
+                                                jnp.minimum(t1y, t2y)),
+                                    jnp.minimum(t1z, t2z))
+                                tf = jnp.minimum(
+                                    jnp.minimum(jnp.maximum(t1x, t2x),
+                                                jnp.maximum(t1y, t2y)),
+                                    jnp.maximum(t1z, t2z))
+                                near = _select((tf >= 0.0) & (tn <= tf),
+                                               tn, BIG)
+                                improves = jnp.any(
+                                    (near < t_tri) & alive)
+                                t_tri, i_tri = jax.lax.cond(
+                                    improves,
+                                    functools.partial(cluster_pass, c),
+                                    lambda a, b: (a, b),
+                                    t_tri, i_tri)
+                            else:
+                                t_tri, i_tri = cluster_pass(c, t_tri, i_tri)
+
+                    # ---- nearest sphere (shader:486-524) -----------------
+                    t_sph = jnp.full((1, r), BIG)
+                    if have_sph:
+                        g = lambda j: sph[:, j:j + 1]            # (S',1)
+                        ocx = ox - g(_S_CX)
+                        ocy = oy - g(_S_CY)
+                        ocz = oz - g(_S_CZ)
+                        a_q = dx * dx + dy * dy + dz * dz
+                        b_q = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                        c_q = (ocx * ocx + ocy * ocy + ocz * ocz
+                               - g(_S_R) * g(_S_R))
+                        delta = b_q * b_q - 4.0 * a_q * c_q
+                        okd = delta >= 0.0
+                        tq = (-b_q - jnp.sqrt(_select(okd, delta, 0.0))) \
+                            / (2.0 * a_q)
+                        ok = okd & (tq >= 0.0)
+                        ts = _select(ok, tq, BIG)                # (S',R)
+                        t_sph = jnp.min(ts, axis=0, keepdims=True)
+                        scand = jnp.min(
+                            _select(ts == t_sph, srow, jnp.int32(2 ** 30)),
+                            axis=0, keepdims=True)
+                        s_onehot = (srow == scand) & (t_sph < BIG)
+
+                    # sphere wins ties (reference checks triangles with
+                    # strict < after spheres)
+                    use_tri = t_tri < t_sph
+                    t_hit = _select(use_tri, t_tri, t_sph)
+                    hit = t_hit < BIG
+
+                    # ---- attribute fetch ---------------------------------
+                    if have_tris:
+                        onehot = ((tri_rows == i_tri) & use_tri & alive
+                                  ).astype(jnp.float32)          # (T',R)
+                        ext = jnp.dot(attrs[:, :], onehot,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+                        e = lambda j: ext[j:j + 1, :]            # (1,R)
+                        # exact hit distance of the winner from its plane
+                        # equation (the sweep's t was approx-reciprocal,
+                        # ordering-only)
+                        gden = -(dx * e(_A_GNX) + dy * e(_A_GNY)
+                                 + dz * e(_A_GNZ))
+                        t_ex = (ox * e(_A_GNX) + oy * e(_A_GNY)
+                                + oz * e(_A_GNZ) - e(_A_GAN)) \
+                            / _select(gden == 0.0, jnp.float32(1.0), gden)
+                        t_hit = _select(use_tri & alive, t_ex, t_hit)
+                    else:
+                        zero = jnp.zeros((1, r), jnp.float32)
+                        e = lambda j: zero
+
+                    t_safe = _select(hit, t_hit, 0.0)
+                    hx = ox + t_safe * dx
+                    hy = oy + t_safe * dy
+                    hz = oz + t_safe * dz
+
+                    if have_sph:
+                        smask = (s_onehot & (~use_tri)).astype(jnp.float32)
+                        sx = lambda j: jnp.sum(smask * g(j), axis=0,
+                                               keepdims=True)    # (1,R)
+                    else:
+                        zero_s = jnp.zeros((1, r), jnp.float32)
+                        sx = lambda j: zero_s
+
+                    use_t = use_tri.astype(jnp.float32)
+                    use_s = (hit & (~use_tri)).astype(jnp.float32)
+
+                    # normal: triangle shader-normal / sphere (hit-c)/|.|
+                    if have_sph:
+                        scx, scy, scz = sx(_S_CX), sx(_S_CY), sx(_S_CZ)
+                        snx, sny, snz = _normalize(hx - scx, hy - scy,
+                                                   hz - scz)
+                    else:
+                        snx = sny = snz = jnp.zeros((1, r), jnp.float32)
+                    nxh = e(_A_NX) * use_t + snx * use_s
+                    nyh = e(_A_NY) * use_t + sny * use_s
+                    nzh = e(_A_NZ) * use_t + snz * use_s
+
+                    alr = e(_A_ALR) * use_t + sx(_S_ALR) * use_s
+                    alg = e(_A_ALG) * use_t + sx(_S_ALG) * use_s
+                    alb = e(_A_ALB) * use_t + sx(_S_ALB) * use_s
+                    emr = e(_A_EMR) * use_t + sx(_S_EMR) * use_s
+                    emg = e(_A_EMG) * use_t + sx(_S_EMG) * use_s
+                    emb = e(_A_EMB) * use_t + sx(_S_EMB) * use_s
+                    emp = e(_A_EMP) * use_t + sx(_S_EMP) * use_s
+                    rough = e(_A_ROUGH) * use_t + sx(_S_ROUGH) * use_s
+                    metal = e(_A_METAL) * use_t + sx(_S_METAL) * use_s
+                    refr = e(_A_REFR) * use_t + sx(_S_REFR) * use_s
+                    texid = (e(_A_TEX) * use_t + sx(_S_TEX) * use_s
+                             + (-1.0) * (1.0 - use_t - use_s))
+
+                    live = alive & hit
+                    miss_now = alive & (~hit)
+
+                    # first (and only) miss: record dir + P^m for sky
+                    m_dx = _select(miss_now, dx, m_dx)
+                    m_dy = _select(miss_now, dy, m_dy)
+                    m_dz = _select(miss_now, dz, m_dz)
+                    m_cr = _select(miss_now, ctr_r, m_cr)
+                    m_cg = _select(miss_now, ctr_g, m_cg)
+                    m_cb = _select(miss_now, ctr_b, m_cb)
+
+                    if textured:
+                        has_tex = (texid > -0.5) & live
+                        livef = live.astype(jnp.float32)
+                        htf = has_tex.astype(jnp.float32)
+                        # S_b = P^m ⊙ (tex ? emp : emc*emp)  (shader:575-585)
+                        s_r = ctr_r * _select(has_tex, emp, emr * emp) * livef
+                        s_g = ctr_g * _select(has_tex, emp, emg * emp) * livef
+                        s_b_ = ctr_b * _select(has_tex, emp, emb * emp) * livef
+                        # uv: tri -> reference's space-mixed barycentrics
+                        # (shader:257-268); sphere -> normal (uv in post)
+                        aox = ox - e(_A_LAX)
+                        aoy = oy - e(_A_LAY)
+                        aoz = oz - e(_A_LAZ)
+                        dax, day, daz = _cross(aox, aoy, aoz, dx, dy, dz)
+                        nvx, nvy, nvz = _cross(
+                            e(_A_ABX), e(_A_ABY), e(_A_ABZ),
+                            e(_A_ACX), e(_A_ACY), e(_A_ACZ))
+                        detl = -(dx * nvx + dy * nvy + dz * nvz)
+                        invl = 1.0 / _select(detl == 0.0, jnp.float32(1.0),
+                                             detl)
+                        ub = (e(_A_ACX) * dax + e(_A_ACY) * day
+                              + e(_A_ACZ) * daz) * invl
+                        vb = -(e(_A_ABX) * dax + e(_A_ABY) * day
+                               + e(_A_ABZ) * daz) * invl
+                        wb = 1.0 - ub - vb
+                        uu = (e(_A_U0) * wb + e(_A_U1) * ub + e(_A_U2) * vb)
+                        vv = (e(_A_V0) * wb + e(_A_V1) * ub + e(_A_V2) * vb)
+                        # record (a,b,c): tri (u,v,0) / sphere normal
+                        ra = uu * use_t + snx * use_s
+                        rb = vv * use_t + sny * use_s
+                        rc = snz * use_s
+                        row = ((frame - 1) * max_bounces + b) * 8
+                        rec_ref[row + 0:row + 1, :] = s_r
+                        rec_ref[row + 1:row + 2, :] = s_g
+                        rec_ref[row + 2:row + 3, :] = s_b_
+                        rec_ref[row + 3:row + 4, :] = ra
+                        rec_ref[row + 4:row + 5, :] = rb
+                        rec_ref[row + 5:row + 6, :] = rc
+                        rec_ref[row + 6:row + 7, :] = _select(
+                            has_tex, texid, jnp.float32(-1.0))
+                        rec_ref[row + 7:row + 8, :] = use_s * htf
+                        # P^m *= (tex ? 1 : albedo)
+                        keep = 1.0 - livef * (1.0 - htf)
+                        ctr_r = ctr_r * (keep + livef * (1.0 - htf) * alr)
+                        ctr_g = ctr_g * (keep + livef * (1.0 - htf) * alg)
+                        ctr_b = ctr_b * (keep + livef * (1.0 - htf) * alb)
+                    else:
+                        livef = live.astype(jnp.float32)
+                        col_r = col_r + emr * emp * ctr_r * livef
+                        col_g = col_g + emg * emp * ctr_g * livef
+                        col_b = col_b + emb * emp * ctr_b * livef
+                        ctr_r = ctr_r * (1.0 - livef + livef * alr)
+                        ctr_g = ctr_g * (1.0 - livef + livef * alg)
+                        ctr_b = ctr_b * (1.0 - livef + livef * alb)
+
+                    # ---- scatter (shader:590-649) ------------------------
+                    d_dot_n = _dot(dx, dy, dz, nxh, nyh, nzh)
+                    is_refract = refr > 1.0
+                    is_front = d_dot_n < 0.0
+                    rt = _select(is_front,
+                                 1.0 / _select(refr == 0.0,
+                                               jnp.float32(1.0), refr),
+                                 refr)
+                    hnx = _select(is_front, nxh, -nxh)
+                    hny = _select(is_front, nyh, -nyh)
+                    hnz = _select(is_front, nzh, -nzh)
+                    cos_t = jnp.minimum(-_dot(dx, dy, dz, hnx, hny, hnz),
+                                        1.0)
+                    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t,
+                                                 1e-12))
+                    cannot = rt * sin_t > 1.0
+                    r0 = ((1.0 - rt) / (1.0 + rt)) ** 2
+                    omc = 1.0 - cos_t
+                    r0p = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+                    rr, seed_refr = _rand(seed)
+                    do_refl = cannot | (r0p > rr)
+                    # reflect(d, hn)
+                    ddh = _dot(dx, dy, dz, hnx, hny, hnz)
+                    rfx = dx - 2.0 * ddh * hnx
+                    rfy = dy - 2.0 * ddh * hny
+                    rfz = dz - 2.0 * ddh * hnz
+                    # refract(d, hn, rt) with TIR -> 0
+                    kk = 1.0 - rt * rt * (1.0 - ddh * ddh)
+                    sq = jnp.sqrt(jnp.maximum(kk, 1e-12))
+                    rxx = rt * dx - (rt * ddh + sq) * hnx
+                    rxy = rt * dy - (rt * ddh + sq) * hny
+                    rxz = rt * dz - (rt * ddh + sq) * hnz
+                    okk = kk >= 0.0
+                    rxx = _select(okk, rxx, 0.0)
+                    rxy = _select(okk, rxy, 0.0)
+                    rxz = _select(okk, rxz, 0.0)
+                    o_rx = _select(do_refl, hx + hnx * OFFSET,
+                                   hx - hnx * OFFSET)
+                    o_ry = _select(do_refl, hy + hny * OFFSET,
+                                   hy - hny * OFFSET)
+                    o_rz = _select(do_refl, hz + hnz * OFFSET,
+                                   hz - hnz * OFFSET)
+                    d_rx = _select(do_refl, rfx, rxx)
+                    d_ry = _select(do_refl, rfy, rxy)
+                    d_rz = _select(do_refl, rfz, rxz)
+
+                    # diffuse/specular branch (6 draws)
+                    u1, s1 = _rand(seed)
+                    u2, s2 = _rand(s1)
+                    u3, s3 = _rand(s2)
+                    ddx, ddy, ddz = _normalize(nxh + 2.0 * u1 - 1.0,
+                                               nyh + 2.0 * u2 - 1.0,
+                                               nzh + 2.0 * u3 - 1.0)
+                    u4, s4 = _rand(s3)
+                    u5, s5 = _rand(s4)
+                    u6, s6 = _rand(s5)
+                    ddn2 = _dot(dx, dy, dz, nxh, nyh, nzh)
+                    sp_x = dx - 2.0 * ddn2 * nxh + (2.0 * u4 - 1.0) * (1.0 - metal)
+                    sp_y = dy - 2.0 * ddn2 * nyh + (2.0 * u5 - 1.0) * (1.0 - metal)
+                    sp_z = dz - 2.0 * ddn2 * nzh + (2.0 * u6 - 1.0) * (1.0 - metal)
+                    spx, spy, spz = _normalize(sp_x, sp_y, sp_z)
+                    dfx, dfy, dfz = _normalize(ddx * (1.0 - rough) + spx * rough,
+                                               ddy * (1.0 - rough) + spy * rough,
+                                               ddz * (1.0 - rough) + spz * rough)
+
+                    n_ox = _select(is_refract, o_rx, hx + nxh * OFFSET)
+                    n_oy = _select(is_refract, o_ry, hy + nyh * OFFSET)
+                    n_oz = _select(is_refract, o_rz, hz + nzh * OFFSET)
+                    n_dx = _select(is_refract, d_rx, dfx)
+                    n_dy = _select(is_refract, d_ry, dfy)
+                    n_dz = _select(is_refract, d_rz, dfz)
+                    n_seed = _select(is_refract, seed_refr, s6)
+
+                    ox = _select(live, n_ox, ox)
+                    oy = _select(live, n_oy, oy)
+                    oz = _select(live, n_oz, oz)
+                    dx = _select(live, n_dx, dx)
+                    dy = _select(live, n_dy, dy)
+                    dz = _select(live, n_dz, dz)
+                    seed = jnp.where(live, n_seed, seed)
+                    alive = live
+                    return (ox, oy, oz, dx, dy, dz, seed,
+                            ctr_r, ctr_g, ctr_b, alive,
+                            m_dx, m_dy, m_dz, m_cr, m_cg, m_cb,
+                            col_r, col_g, col_b)
+
+                if early_exit:
+                    # tile-uniform skip once every lane has terminated
+                    # (Mosaic's layout inference currently miscompiles a
+                    # cond over this 20-value carry on some targets; off
+                    # by default pending a rework as a fori_loop bound)
+                    any_alive = jnp.any(carry[10])
+                    carry = jax.lax.cond(any_alive, bounce_body,
+                                         lambda c: c, carry)
+                else:
+                    carry = bounce_body(carry)
+
+            (ox, oy, oz, dx, dy, dz, seed, ctr_r, ctr_g, ctr_b, alive,
+             m_dx, m_dy, m_dz, m_cr, m_cg, m_cb,
+             col_r, col_g, col_b) = carry
+
+            frow = (frame - 1) * 8
+            miss_ref[frow + 0:frow + 1, :] = m_dx
+            miss_ref[frow + 1:frow + 2, :] = m_dy
+            miss_ref[frow + 2:frow + 3, :] = m_dz
+            miss_ref[frow + 3:frow + 4, :] = m_cr
+            miss_ref[frow + 4:frow + 5, :] = m_cg
+            miss_ref[frow + 5:frow + 6, :] = m_cb
+            miss_ref[frow + 6:frow + 7, :] = (
+                (m_dx * m_dx + m_dy * m_dy + m_dz * m_dz) > 0.0
+            ).astype(jnp.float32)
+            miss_ref[frow + 7:frow + 8, :] = jnp.zeros((1, r), jnp.float32)
+
+        color_ref[0:1, :] = col_r
+        color_ref[1:2, :] = col_g
+        color_ref[2:3, :] = col_b
+        for j in range(3, 8):
+            color_ref[j:j + 1, :] = jnp.zeros((1, r), jnp.float32)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver: pallas_call + XLA post-pass
+# ---------------------------------------------------------------------------
+
+def _pack_camera(cam: CameraSpec):
+    """Pack camera scalars into the (1,64) SMEM block — matrices stored
+    column-major (kernel reads m[i,j] at j*4+i)."""
+    camf = jnp.zeros((1, 64), jnp.float32)
+    camf = camf.at[0, 0:16].set(jnp.asarray(cam.inv_projection).T.reshape(-1))
+    camf = camf.at[0, 16:32].set(jnp.asarray(cam.inv_view).T.reshape(-1))
+    camf = camf.at[0, 32:35].set(cam.position)
+    camf = camf.at[0, 35].set(cam.focus_distance)
+    camf = camf.at[0, 36].set(cam.defocus_strength)
+    camf = camf.at[0, 37].set(cam.blur_strength)
+    return camf
+
+
+def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
+                      cfg: RenderConfig, ray_tile: int = DEFAULT_RAY_TILE,
+                      cull: bool = True, interpret: bool = False,
+                      early_exit: bool = False):
+    """Full-frame forward dispatch through the megakernel.
+
+    Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples —
+    same contract as ops.trace_ref.render_dispatch.  Forward-only (the
+    autodiff path uses the XLA renderer).
+    """
+    w, h = cfg.width, cfg.height
+    n = w * h
+    r = ray_tile
+    n_pad = -(-n // r) * r
+    n_tiles = n_pad // r
+    bounces = cfg.max_bounces
+    frames = cfg.max_frames
+    textured = scene.any_textured
+
+    pack = build_mega_pack(scene)
+    camf = _pack_camera(cam)
+    fidx = jnp.asarray(frame_index, jnp.uint32).reshape(1, 1)
+
+    const = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 64), const, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+    ]
+    inputs = [camf, fidx]
+    if pack.n_clusters > 0:
+        tp = pack.n_clusters * CLUSTER
+        in_specs += [
+            pl.BlockSpec((tp, 16), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ATTRS, tp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((pack.n_clusters, 8), const,
+                         memory_space=pltpu.SMEM),
+        ]
+        inputs += [pack.tri_feats, pack.tri_attrs, pack.boxes]
+    if pack.n_spheres_padded > 0:
+        in_specs.append(pl.BlockSpec((pack.n_spheres_padded, 16), const,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(pack.spheres)
+
+    out_shape = [jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+                 jax.ShapeDtypeStruct((8 * frames, n_pad), jnp.float32)]
+    out_specs = [pl.BlockSpec((8, r), lambda i: (0, i),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((8 * frames, r), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    if textured:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (8 * frames * bounces, n_pad), jnp.float32))
+        out_specs.append(pl.BlockSpec((8 * frames * bounces, r),
+                                      lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = _make_kernel(
+        ray_tile=r, n_clusters=pack.n_clusters,
+        n_sph=pack.n_spheres_padded, max_bounces=bounces,
+        max_frames=frames, textured=textured, cull=cull,
+        width=w, height=h, early_exit=early_exit)
+
+    try:
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))
+    except TypeError:                                   # older jax
+        cparams = None
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        **({"compiler_params": cparams} if cparams else {}),
+    )(*inputs)
+
+    if textured:
+        main, miss, rec = outs
+    else:
+        main, miss = outs
+        rec = None
+
+    color = main[0:3, :n].T                              # (N,3)
+    draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
+
+    for f in range(frames):
+        if textured:
+            pt = jnp.ones((n, 3), jnp.float32)           # Π texture albedos
+            for b in range(bounces):
+                row = (f * bounces + b) * 8
+                s_term = rec[row:row + 3, :n].T          # (N,3)
+                ra = rec[row + 3, :n]
+                rb = rec[row + 4, :n]
+                rc = rec[row + 5, :n]
+                texid = rec[row + 6, :n]
+                sflag = rec[row + 7, :n]
+                has_tex = texid > -0.5
+                # sphere lanes: (ra,rb,rc) is the unit normal -> equirect uv
+                uu = jnp.where(
+                    sflag > 0.5,
+                    jnp.arctan2(rc, ra) / TWO_PI + 0.5, ra)
+                vv = jnp.where(
+                    sflag > 0.5,
+                    jnp.arcsin(jnp.clip(rb, -1.0 + 1e-6, 1.0 - 1e-6))
+                    / PI + 0.5, rb)
+                tid = jnp.where(has_tex, texid.astype(jnp.int32), 0)
+                tex_rgb = sample_texture_array(
+                    scene.textures, scene.tex_size, tid, uu, vv)
+                t_alb = jnp.where(has_tex[:, None], tex_rgb, 1.0)
+                term = s_term * pt
+                color = color + jnp.where(has_tex[:, None],
+                                          term * tex_rgb, term)
+                pt = pt * t_alb
+        frow = f * 8
+        mdir = miss[frow:frow + 3, :n].T
+        mctr = miss[frow + 3:frow + 6, :n].T
+        mmask = miss[frow + 6, :n] > 0.5
+        sky_rgb = _sky_fetch(mdir, scene.sky)
+        sky_term = mctr * sky_rgb * draw_env
+        if textured:
+            sky_term = sky_term * pt
+        color = color + jnp.where(mmask[:, None], sky_term, 0.0)
+
+    color = color / jnp.float32(frames)                  # shader:711
+    return color.reshape(h, w, 3)
+
+
+def _sky_fetch(direction, sky):
+    u = jnp.arctan2(direction[:, 2], direction[:, 0]) / TWO_PI + 0.5
+    v = jnp.arcsin(jnp.clip(direction[:, 1], -1.0 + 1e-6, 1.0 - 1e-6)) \
+        / PI + 0.5
+    return sample_bilinear(sky, u, v, wrap="clamp")

@@ -254,9 +254,18 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
     accumulation-image I/O which lives in runtime/renderer.py).
 
     frame_index: traced uint32 scalar (1-based accumulation counter).
-    backend: 'xla' | 'pallas' | 'pallas_interpret' (see bounce_payload).
+    backend: 'xla' | 'pallas' | 'pallas_interpret' (see bounce_payload) |
+    'megakernel' | 'megakernel_interpret' (fully-fused forward path; falls
+    back to the XLA path for the MaxBounces==1 flat-shade preview mode).
     Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples.
     """
+    if backend.startswith("megakernel") and cfg.max_bounces > 1:
+        from .pallas.megakernel import render_megakernel
+        return render_megakernel(
+            scene, cam, frame_index, cfg,
+            interpret=(backend == "megakernel_interpret"))
+    if backend.startswith("megakernel"):
+        backend = "xla"                      # flat-shade preview fallback
     x, y = pixel_grid(cfg.width, cfg.height)
     incoming = render_pixels(scene, cam, x, y, frame_index, cfg, chunk,
                              backend, remat)
