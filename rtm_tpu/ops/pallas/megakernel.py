@@ -269,6 +269,9 @@ def _make_kernel(*, ray_tile, n_clusters, n_sph, max_bounces, max_frames,
         it = iter(refs)
         camf = next(it)                       # (1,64) f32 SMEM
         fidx = next(it)                       # (1,1)  u32 SMEM
+        pix0 = next(it)                       # (1,1)  i32 SMEM: first pixel
+                                              # id of this dispatch (sharded
+                                              # row bands pass rank*band)
         feats = next(it) if have_tris else None
         attrs = next(it) if have_tris else None
         boxes = next(it) if have_tris else None
@@ -303,7 +306,7 @@ def _make_kernel(*, ray_tile, n_clusters, n_sph, max_bounces, max_frames,
         frame_index = fidx[0, 0]
 
         # pixel ids for this tile
-        base = pl.program_id(0) * r
+        base = pl.program_id(0) * r + pix0[0, 0]
         lin = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + base
         xpix = lin % width
         ypix = lin // width
@@ -769,8 +772,24 @@ def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     same contract as ops.trace_ref.render_dispatch.  Forward-only (the
     autodiff path uses the XLA renderer).
     """
+    color = render_rays_megakernel(
+        scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
+        n_rays=cfg.width * cfg.height, ray_tile=ray_tile, cull=cull,
+        interpret=interpret, early_exit=early_exit)
+    return color.reshape(cfg.height, cfg.width, 3)
+
+
+def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
+                           cfg: RenderConfig, pixel_offset, n_rays: int,
+                           ray_tile: int = DEFAULT_RAY_TILE,
+                           cull: bool = True, interpret: bool = False,
+                           early_exit: bool = False):
+    """Trace row-major pixels [pixel_offset, pixel_offset + n_rays) of the
+    cfg.width x cfg.height grid — the unit the multi-chip sharded renderer
+    dispatches per device band (parallel/sharding.py).  Returns (n_rays, 3).
+    """
     w, h = cfg.width, cfg.height
-    n = w * h
+    n = n_rays
     r = ray_tile
     n_pad = -(-n // r) * r
     n_tiles = n_pad // r
@@ -786,8 +805,10 @@ def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     in_specs = [
         pl.BlockSpec((1, 64), const, memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
     ]
-    inputs = [camf, fidx]
+    pix0 = jnp.asarray(pixel_offset, jnp.int32).reshape(1, 1)
+    inputs = [camf, fidx, pix0]
     if pack.n_clusters > 0:
         tp = pack.n_clusters * CLUSTER
         in_specs += [
@@ -885,7 +906,7 @@ def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
         color = color + jnp.where(mmask[:, None], sky_term, 0.0)
 
     color = color / jnp.float32(frames)                  # shader:711
-    return color.reshape(h, w, 3)
+    return color
 
 
 def _sky_fetch(direction, sky):

@@ -71,8 +71,29 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
     (H, W, 3) f32 radiance (same contract as ops.trace_ref.render_dispatch).
     """
     n_dev = mesh.shape[DP_AXIS]
-    x, y, _, n = _padded_grid(cfg, n_dev)
     frame_index = jnp.asarray(frame_index, jnp.uint32)
+    n = cfg.num_pixels
+
+    if backend.startswith("megakernel") and cfg.max_bounces > 1:
+        # fused-kernel path: each device runs the megakernel on its
+        # contiguous row-major pixel band (same kernel, per-band offset)
+        from ..ops.pallas.megakernel import render_rays_megakernel
+        band = -(-n // n_dev)
+
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh
+        # annotation, which the vma checker (rightly) cannot infer
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+                 out_specs=P(DP_AXIS), check_vma=False)
+        def shard_mk(scene, cam, fi):
+            rank = jax.lax.axis_index(DP_AXIS)
+            return render_rays_megakernel(
+                scene, cam, fi, cfg, pixel_offset=rank * band, n_rays=band,
+                interpret=(backend == "megakernel_interpret"))
+
+        out = shard_mk(scene, cam, frame_index)
+        return out[:n].reshape(cfg.height, cfg.width, 3)
+
+    x, y, _, n = _padded_grid(cfg, n_dev)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(DP_AXIS), P(DP_AXIS)),

@@ -112,3 +112,13 @@ def test_graft_entry_dryrun():
     assert out.shape == (128, 128, 3)
     assert bool(jnp.isfinite(out).all())
     ge.dryrun_multichip(8)
+
+
+def test_render_sharded_megakernel_matches(setup, image_compare):
+    """Sharded megakernel bands (per-device pixel offsets) == full-frame."""
+    scene, cam = setup
+    mesh = make_mesh(4)
+    ref = render_dispatch(scene, cam, jnp.uint32(1), CFG, backend="xla")
+    out = render_sharded(scene, cam, jnp.uint32(1), CFG, mesh,
+                         backend="megakernel_interpret")
+    image_compare(np.asarray(ref), np.asarray(out))
