@@ -106,6 +106,22 @@ def cmd_scenes(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from rtm_tpu import Camera
+    from rtm_tpu.runtime.renderer import ProgressiveRenderer
+    from rtm_tpu.viewer import ViewerServer
+
+    import dataclasses
+
+    scene, cam, cfg, backend = _setup(args)
+    cfg = dataclasses.replace(cfg, accumulate=True)   # progressive viewer
+    renderer = ProgressiveRenderer(scene, Camera(), cfg)
+    server = ViewerServer(renderer, port=args.port)
+    print(f"viewer: http://127.0.0.1:{server.port}  (Ctrl-C to stop)")
+    server.start(block=True)
+    return 0
+
+
 def cmd_optimize(args) -> int:
     """Self-demo of BASELINE config 5: render a target with the true scene,
     perturb the material parameters, recover them by Adam descent."""
@@ -166,6 +182,11 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("scenes", help="list built-in scenes")
     p.set_defaults(fn=cmd_scenes)
+
+    p = sub.add_parser("view", help="interactive browser viewer")
+    _add_render_args(p)
+    p.add_argument("--port", type=int, default=8654)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("optimize", help="inverse-rendering demo")
     _add_render_args(p)

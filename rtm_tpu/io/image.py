@@ -125,8 +125,8 @@ def save_png(path, img: np.ndarray) -> None:
     Image.fromarray(img, "RGB").save(str(path))
 
 
-def save_png_pure(path, img: np.ndarray) -> None:
-    """Dependency-free PNG writer (fallback; 8-bit RGB, no filter)."""
+def encode_png(img: np.ndarray) -> bytes:
+    """Dependency-free PNG encoder (8-bit RGB, no filter)."""
     if img.dtype != np.uint8:
         img = to_u8(img)
     h, w, _ = img.shape
@@ -137,6 +137,10 @@ def save_png_pure(path, img: np.ndarray) -> None:
         return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
 
     header = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
-    Path(path).write_bytes(png)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def save_png_pure(path, img: np.ndarray) -> None:
+    """Dependency-free PNG writer (fallback for hosts without PIL)."""
+    Path(path).write_bytes(encode_png(img))

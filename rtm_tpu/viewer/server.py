@@ -1,0 +1,208 @@
+"""Interactive progressive viewer — the TPU-native stand-in for the
+reference's GLFW/ImGui window (SURVEY C5, C26).
+
+The reference runs a windowed loop: poll input -> translate to events ->
+camera controller -> reset accumulation on movement -> dispatch -> present
+(Application.cpp:44-68, RayTracing.cpp:501-628).  Headless TPU hosts have
+no display, so the window is a browser page served by a dependency-free
+stdlib HTTP server:
+
+  GET  /            the viewer page (canvas + key/mouse capture JS)
+  GET  /frame.png   current accumulated frame (progressive)
+  GET  /state       frame index / camera / scene info (the stats panel)
+  POST /input       {keys: [...], dx, dy, buttons} -> event bus
+
+A render thread steps the ProgressiveRenderer continuously; input events
+drain through the runtime.events bus into the reference's camera-controller
+semantics (WASD/QE + right-drag look, RayTracing.cpp:522-595), resetting
+accumulation exactly when the reference would.
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..models.camera import Camera
+from ..runtime.events import (AppClose, EventBus, KeyPressed, MouseMove,
+                              ScrollMoved)
+from ..runtime.renderer import ProgressiveRenderer
+from ..utils.logging import get_logger
+
+log = get_logger("app")
+
+_PAGE = """<!doctype html>
+<html><head><title>rtm_tpu viewer</title><style>
+body{margin:0;background:#111;color:#ccc;font:13px monospace}
+#hud{position:fixed;top:8px;left:8px;background:#000a;padding:6px}
+img{image-rendering:pixelated;width:100vw;height:auto;display:block}
+</style></head><body>
+<div id="hud">rtm_tpu — WASD/QE move, drag to look</div>
+<img id="view" src="/frame.png">
+<script>
+const img = document.getElementById('view');
+const hud = document.getElementById('hud');
+let keys = new Set(), dragging = false, lx = 0, ly = 0;
+setInterval(() => { img.src = '/frame.png?' + Date.now(); }, 200);
+setInterval(async () => {
+  if (keys.size) send({keys: [...keys]});
+  const s = await (await fetch('/state')).json();
+  hud.textContent = `frame ${s.frame_index}  pos ${s.position.map(
+      v=>v.toFixed(2))}`;
+}, 100);
+function send(o){ fetch('/input', {method:'POST', body:JSON.stringify(o)}); }
+addEventListener('keydown', e => keys.add(e.key.toLowerCase()));
+addEventListener('keyup', e => keys.delete(e.key.toLowerCase()));
+img.addEventListener('mousedown', e => {dragging=true; lx=e.x; ly=e.y;});
+addEventListener('mouseup', () => dragging=false);
+addEventListener('mousemove', e => {
+  if (dragging){ send({dx: e.x-lx, dy: e.y-ly}); lx=e.x; ly=e.y; }});
+</script></body></html>"""
+
+
+class CameraController:
+    """Reference camera-controller semantics (RayTracing.cpp:522-595):
+    WASD/QE translate along forward/right/up, mouse drag yaws/pitches the
+    direction; any change resets accumulation."""
+
+    SPEED = 0.2          # per key event (the reference scales by dt)
+    SENSITIVITY = 0.003  # radians per pixel
+
+    def __init__(self, camera: Camera, on_change) -> None:
+        self.camera = camera
+        self.on_change = on_change
+
+    def key(self, ev: KeyPressed) -> None:
+        k = ev.key
+        step = dict(w=(1, 0, 0), s=(-1, 0, 0), d=(0, 1, 0), a=(0, -1, 0),
+                    q=(0, 0, 1), e=(0, 0, -1)).get(k)
+        if step is None:
+            return
+        f, r, u = step
+        self.camera.move(forward=f * self.SPEED, right=r * self.SPEED,
+                         up=u * self.SPEED)
+        self.on_change()
+
+    def look(self, ev: MouseMove) -> None:
+        d = np.asarray(self.camera.direction, np.float64)
+        yaw = -ev.dx * self.SENSITIVITY
+        pitch = -ev.dy * self.SENSITIVITY
+        # yaw about +Y
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        d = np.array([cy * d[0] + sy * d[2], d[1], -sy * d[0] + cy * d[2]])
+        # pitch about camera right
+        right = np.cross(d, Camera.UP)
+        right /= max(np.linalg.norm(right), 1e-9)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        d = d * cp + np.cross(right, d) * sp
+        self.camera.direction = d / np.linalg.norm(d)
+        self.on_change()
+
+    def scroll(self, ev: ScrollMoved) -> None:
+        self.camera.fov = float(np.clip(self.camera.fov - ev.offset, 10, 120))
+        self.on_change()
+
+
+class ViewerServer:
+    """Progressive-render HTTP viewer.  start() spawns the server + render
+    threads; step() is also callable manually (tests drive it without
+    threads)."""
+
+    def __init__(self, renderer: ProgressiveRenderer, host: str = "127.0.0.1",
+                 port: int = 0) -> None:
+        self.renderer = renderer
+        self.bus = EventBus()
+        self.controller = CameraController(renderer.camera, renderer.reset)
+        self.bus.register(KeyPressed, self.controller.key)
+        self.bus.register(MouseMove, self.controller.look)
+        self.bus.register(ScrollMoved, self.controller.scroll)
+        self.bus.register(AppClose, lambda ev: self.stop())
+        self._frame_png = b""
+        self._running = False
+        self._httpd = ThreadingHTTPServer((host, port), self._handler())
+        self.port = self._httpd.server_address[1]
+
+    # -- render loop -------------------------------------------------------
+    def step(self) -> None:
+        """One viewer frame: drain events, advance accumulation, encode."""
+        self.bus.process()
+        out = np.asarray(self.renderer.step())
+        self._frame_png = _encode_png(out[::-1])
+
+    def _render_loop(self) -> None:
+        while self._running:
+            self.step()
+
+    # -- http --------------------------------------------------------------
+    def _handler(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):          # quiet
+                pass
+
+            def _send(self, code, body, ctype):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.startswith("/frame.png"):
+                    self._send(200, viewer._frame_png or b"", "image/png")
+                elif self.path.startswith("/state"):
+                    r = viewer.renderer
+                    body = json.dumps({
+                        "frame_index": r.frame_index,
+                        "position": list(map(float, r.camera.position)),
+                        "direction": list(map(float, r.camera.direction)),
+                        "width": r.cfg.width, "height": r.cfg.height,
+                    }).encode()
+                    self._send(200, body, "application/json")
+                else:
+                    self._send(200, _PAGE.encode(), "text/html")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                data = json.loads(self.rfile.read(n) or b"{}")
+                for k in data.get("keys", []):
+                    viewer.bus.emit(KeyPressed(key=k))
+                if data.get("dx") or data.get("dy"):
+                    viewer.bus.emit(MouseMove(x=0, y=0,
+                                              dx=float(data.get("dx", 0)),
+                                              dy=float(data.get("dy", 0))))
+                if data.get("scroll"):
+                    viewer.bus.emit(ScrollMoved(float(data["scroll"])))
+                if data.get("close"):
+                    viewer.bus.emit(AppClose())
+                self._send(200, b"{}", "application/json")
+
+        return Handler
+
+    def start(self, block: bool = False) -> None:
+        self._running = True
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+        t = threading.Thread(target=self._render_loop, daemon=True)
+        t.start()
+        log.info("viewer: http://127.0.0.1:%d", self.port)
+        if block:
+            try:
+                while self._running:
+                    time.sleep(0.25)
+            except KeyboardInterrupt:
+                pass
+            self.stop()
+
+    def stop(self) -> None:
+        self._running = False
+        self._httpd.shutdown()
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    from ..io.image import encode_png
+    return encode_png(img)
