@@ -19,6 +19,8 @@ import sys
 
 def _add_render_args(p):
     p.add_argument("--scene", type=int, default=3, help="built-in scene 1-5")
+    p.add_argument("--scene-file", default=None,
+                   help="load a saved .rtm.json scene instead of --scene")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--bounces", type=int, default=8,
@@ -35,7 +37,7 @@ def _add_render_args(p):
                    help="force jax platform (e.g. cpu)")
 
 
-def _setup(args):
+def _setup(args, want_host_scene: bool = False):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -48,8 +50,17 @@ def _setup(args):
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, max_frames=args.spp,
                        draw_environment=not args.no_environment)
-    scene = build_tracer_scene(load_scene(args.scene))
     cam = Camera()
+    if getattr(args, "scene_file", None):
+        from rtm_tpu.io.scene_io import load_scene_file
+        host, file_cam, _ = load_scene_file(args.scene_file)
+        if file_cam is not None:
+            cam = file_cam
+    else:
+        host = load_scene(args.scene)
+    scene = build_tracer_scene(host)
+    if want_host_scene:
+        return scene, cam, cfg, backend, host
     return scene, cam, cfg, backend
 
 
@@ -107,18 +118,29 @@ def cmd_scenes(args) -> int:
 
 
 def cmd_view(args) -> int:
-    from rtm_tpu import Camera
     from rtm_tpu.runtime.renderer import ProgressiveRenderer
     from rtm_tpu.viewer import ViewerServer
 
     import dataclasses
 
-    scene, cam, cfg, backend = _setup(args)
+    scene, cam, cfg, backend, host = _setup(args, want_host_scene=True)
     cfg = dataclasses.replace(cfg, accumulate=True)   # progressive viewer
-    renderer = ProgressiveRenderer(scene, Camera(), cfg)
-    server = ViewerServer(renderer, port=args.port)
+    renderer = ProgressiveRenderer(scene, cam, cfg)
+    server = ViewerServer(renderer, port=args.port, host_scene=host)
     print(f"viewer: http://127.0.0.1:{server.port}  (Ctrl-C to stop)")
     server.start(block=True)
+    return 0
+
+
+def cmd_save_scene(args) -> int:
+    """Export a built-in scene to the .rtm.json format (editable, reloadable
+    via --scene-file on any command)."""
+    from rtm_tpu import Camera, load_scene
+    from rtm_tpu.io.scene_io import save_scene
+
+    host = load_scene(args.scene)
+    path = save_scene(args.out, host, camera=Camera())
+    print(f"wrote {path}")
     return 0
 
 
@@ -182,6 +204,11 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("scenes", help="list built-in scenes")
     p.set_defaults(fn=cmd_scenes)
+
+    p = sub.add_parser("save-scene", help="export a scene to .rtm.json")
+    p.add_argument("--scene", type=int, default=3)
+    p.add_argument("--out", default="scene.rtm.json")
+    p.set_defaults(fn=cmd_save_scene)
 
     p = sub.add_parser("view", help="interactive browser viewer")
     _add_render_args(p)

@@ -11,6 +11,8 @@ stdlib HTTP server:
   GET  /frame.png   current accumulated frame (progressive)
   GET  /state       frame index / camera / scene info (the stats panel)
   POST /input       {keys: [...], dx, dy, buttons} -> event bus
+  GET  /scene       editor snapshot (materials/spheres/instances panels)
+  POST /edit        one SceneEditor op (CRUD parity, RayTracing.cpp:164-463)
 
 A render thread steps the ProgressiveRenderer continuously; input events
 drain through the runtime.events bus into the reference's camera-controller
@@ -36,15 +38,26 @@ log = get_logger("app")
 
 _PAGE = """<!doctype html>
 <html><head><title>rtm_tpu viewer</title><style>
-body{margin:0;background:#111;color:#ccc;font:13px monospace}
+body{margin:0;background:#111;color:#ccc;font:13px monospace;display:flex}
 #hud{position:fixed;top:8px;left:8px;background:#000a;padding:6px}
-img{image-rendering:pixelated;width:100vw;height:auto;display:block}
+#main{flex:1}
+img{image-rendering:pixelated;width:100%;height:auto;display:block}
+#panel{width:340px;max-height:100vh;overflow:auto;background:#1a1a1a;
+       padding:8px;font-size:12px}
+#panel h3{margin:10px 0 4px;color:#8cf}
+#panel input{width:52px;background:#000;color:#cfc;border:1px solid #333}
+#panel .row{margin:2px 0}
+#panel button{background:#234;color:#ccc;border:1px solid #456;margin:1px}
 </style></head><body>
+<div id="main">
 <div id="hud">rtm_tpu — WASD/QE move, drag to look</div>
 <img id="view" src="/frame.png">
+</div>
+<div id="panel"><i>loading scene…</i></div>
 <script>
 const img = document.getElementById('view');
 const hud = document.getElementById('hud');
+const panel = document.getElementById('panel');
 let keys = new Set(), dragging = false, lx = 0, ly = 0;
 setInterval(() => { img.src = '/frame.png?' + Date.now(); }, 200);
 setInterval(async () => {
@@ -54,7 +67,69 @@ setInterval(async () => {
       v=>v.toFixed(2))}`;
 }, 100);
 function send(o){ fetch('/input', {method:'POST', body:JSON.stringify(o)}); }
-addEventListener('keydown', e => keys.add(e.key.toLowerCase()));
+async function edit(o){
+  await fetch('/edit', {method:'POST', body:JSON.stringify(o)});
+  loadScene();
+}
+function vecIn(kind, i, field, v){
+  return v.map((x, j) =>
+    `<input value="${+x.toFixed(3)}" onchange="editVec('${kind}',${i},` +
+    `'${field}',${j},this.value)">`).join('');
+}
+let SCENE = null;
+function editVec(kind, i, field, j, val){
+  const v = SCENE[kind][i][field].map(Number); v[j] = +val;
+  edit({op: 'set_' + kind.slice(0, -1).replace('object','instance'),
+        index: i, [field]: v});
+}
+function editNum(kind, i, field, val){
+  edit({op: 'set_' + kind.replace('objects','instance').replace(
+        'materials','material').replace('spheres','sphere'),
+        index: i, [field]: +val});
+}
+async function loadScene(){
+  const r = await fetch('/scene');
+  if (r.status !== 200){ panel.innerHTML = '<i>no editor</i>'; return; }
+  const s = SCENE = await r.json();
+  let h = '<h3>Materials</h3>';
+  s.materials.forEach((m, i) => {
+    h += `<div class=row>#${i} alb ${vecIn('materials', i, 'albedo',
+          m.albedo)}<br>em ${vecIn('materials', i, 'emission_color',
+          m.emission_color)}<br>` +
+      ['roughness','metallic','emission_power','refraction_ratio']
+      .map(f => `${f.slice(0,5)} <input value="${m[f]}" onchange=` +
+           `"editNum('materials',${i},'${f}',this.value)">`).join(' ') +
+      '</div>';
+  });
+  h += '<h3>Spheres</h3>';
+  s.spheres.forEach((sp, i) => {
+    h += `<div class=row>#${i} pos ${vecIn('spheres', i, 'position',
+          sp.position)} r <input value="${sp.radius}" onchange=` +
+      `"editNum('spheres',${i},'radius',this.value)"> mat <input value=` +
+      `"${sp.material_id}" onchange="editNum('spheres',${i},` +
+      `'material_id',this.value)"> <button onclick=` +
+      `"edit({op:'remove_sphere',index:${i}})">x</button></div>`;
+  });
+  h += `<button onclick="edit({op:'add_sphere',position:[0,1,0],radius:0.5,
+        material_id:0})">+ sphere</button>`;
+  h += '<h3>Instances</h3>';
+  s.objects.forEach((o, i) => {
+    h += `<div class=row>#${i} mesh ${o.mesh_id} mat <input value=` +
+      `"${o.material_id}" onchange="editNum('objects',${i},` +
+      `'material_id',this.value)"><br>pos ${vecIn('objects', i,
+      'position', o.position)}<br>rot ${vecIn('objects', i, 'rotation',
+      o.rotation)}<br>scl ${vecIn('objects', i, 'scale', o.scale)} ` +
+      `<button onclick="edit({op:'remove_instance',index:${i}})">x` +
+      `</button></div>`;
+  });
+  h += `<h3>Meshes</h3>` + s.meshes.map((m, i) =>
+    `<div class=row>#${i}: ${m.triangles} tris ${m.source || ''}</div>`)
+    .join('');
+  panel.innerHTML = h;
+}
+loadScene();
+addEventListener('keydown', e => {
+  if (e.target.tagName !== 'INPUT') keys.add(e.key.toLowerCase()); });
 addEventListener('keyup', e => keys.delete(e.key.toLowerCase()));
 img.addEventListener('mousedown', e => {dragging=true; lx=e.x; ly=e.y;});
 addEventListener('mouseup', () => dragging=false);
@@ -112,8 +187,12 @@ class ViewerServer:
     threads)."""
 
     def __init__(self, renderer: ProgressiveRenderer, host: str = "127.0.0.1",
-                 port: int = 0) -> None:
+                 port: int = 0, host_scene=None) -> None:
         self.renderer = renderer
+        self.editor = None
+        if host_scene is not None:
+            from ..runtime.editor import SceneEditor
+            self.editor = SceneEditor(host_scene, renderer)
         self.bus = EventBus()
         self.controller = CameraController(renderer.camera, renderer.reset)
         self.bus.register(KeyPressed, self.controller.key)
@@ -163,12 +242,33 @@ class ViewerServer:
                         "width": r.cfg.width, "height": r.cfg.height,
                     }).encode()
                     self._send(200, body, "application/json")
+                elif self.path.startswith("/scene"):
+                    if viewer.editor is None:
+                        self._send(404, b"{}", "application/json")
+                    else:
+                        self._send(200,
+                                   json.dumps(viewer.editor.snapshot())
+                                   .encode(), "application/json")
                 else:
                     self._send(200, _PAGE.encode(), "text/html")
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 data = json.loads(self.rfile.read(n) or b"{}")
+                if self.path.startswith("/edit"):
+                    if viewer.editor is None:
+                        self._send(404, b"{}", "application/json")
+                        return
+                    try:
+                        result = viewer.editor.apply(data)
+                        self._send(200, json.dumps(
+                            {"ok": True, "result": result}).encode(),
+                            "application/json")
+                    except Exception as exc:   # surface editor errors to UI
+                        self._send(400, json.dumps(
+                            {"ok": False, "error": str(exc)}).encode(),
+                            "application/json")
+                    return
                 for k in data.get("keys", []):
                     viewer.bus.emit(KeyPressed(key=k))
                 if data.get("dx") or data.get("dy"):
