@@ -28,6 +28,12 @@ import jax
 if os.environ.get("RTM_BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["RTM_BENCH_PLATFORM"])
 
+# persistent compile cache: the megakernel is compile-heavy (minutes at the
+# headline config); repeated bench runs should pay it once per machine
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("RTM_JAX_CACHE", "/tmp/rtm_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 

@@ -104,6 +104,11 @@ class TracerScene:
     sky: jax.Array          # (Hs,Ws,3) f32 equirect map (ClampToEdge/Linear)
     textures: jax.Array     # (K,TH,TW,3) f32 padded stack (Repeat/Linear)
     tex_size: jax.Array     # (K,2) i32 actual (H,W) per texture
+    # quad-packed bilinear tables (ops/shade.py build_quad_flat): one row per
+    # texel holding the 2x2 footprint, so a bilinear tap is ONE TPU gather
+    # instead of four.  Sky f32 (exact); textures bf16 (LDR data, <=0.2%).
+    sky_quads: jax.Array    # (Hs*Ws, 12) f32
+    tex_quads: jax.Array    # (K*TH*TW, 12) bf16
 
     # static (non-pytree) metadata: does any material reference a texture?
     # Kernels specialize on this (the megakernel's deferred-texture records
@@ -124,16 +129,29 @@ class TracerScene:
 
 
 def _stack_textures(textures: list[np.ndarray]):
+    from ..ops.shade import build_quad_flat
+
     if not textures:
-        return (jnp.zeros((1, 1, 1, 3), jnp.float32), jnp.ones((1, 2), jnp.int32))
+        return (jnp.zeros((1, 1, 1, 3), jnp.float32),
+                jnp.ones((1, 2), jnp.int32),
+                jnp.zeros((1, 12), jnp.bfloat16))
     th = max(t.shape[0] for t in textures)
     tw = max(t.shape[1] for t in textures)
     stack = np.zeros((len(textures), th, tw, 3), np.float32)
     sizes = np.zeros((len(textures), 2), np.int32)
+    quads = jnp.zeros((len(textures), th * tw, 12), jnp.bfloat16)
     for i, t in enumerate(textures):
-        stack[i, : t.shape[0], : t.shape[1]] = t[..., :3]
-        sizes[i] = (t.shape[0], t.shape[1])
-    return jnp.asarray(stack), jnp.asarray(sizes)
+        h, w = t.shape[0], t.shape[1]
+        stack[i, :h, :w] = t[..., :3]
+        sizes[i] = (h, w)
+        # per-texture quad table at TRUE extent (repeat wrap baked), placed
+        # into the padded row layout so base + y*TW + x indexes it
+        q = build_quad_flat(t[..., :3], wrap="repeat",
+                            dtype=jnp.bfloat16).reshape(h, w, 12)
+        quads = quads.at[i].set(
+            jnp.pad(q, ((0, th - h), (0, tw - w), (0, 0))).reshape(-1, 12))
+    return (jnp.asarray(stack), jnp.asarray(sizes),
+            quads.reshape(len(textures) * th * tw, 12))
 
 
 def _morton_order(wa: np.ndarray, wb: np.ndarray, wc: np.ndarray):
@@ -227,7 +245,10 @@ def build_tracer_scene(scene: Scene, order: str = "morton") -> TracerScene:
     any_textured = any(int(m.texture_id) >= 0 for m in scene.materials)
 
     sky = scene.sky if scene.sky is not None else np.zeros((1, 1, 3), np.float32)
-    textures, tex_size = _stack_textures(scene.textures)
+    textures, tex_size, tex_quads = _stack_textures(scene.textures)
+
+    from ..ops.shade import build_quad_flat
+    sky_quads = build_quad_flat(np.asarray(sky, np.float32), wrap="clamp")
 
     return TracerScene(
         materials=mats,
@@ -241,5 +262,6 @@ def build_tracer_scene(scene: Scene, order: str = "morton") -> TracerScene:
         tri_uv=jnp.asarray(tri_uv), tri_mat=jnp.asarray(tri_mat),
         sky=jnp.asarray(sky, jnp.float32),
         textures=textures, tex_size=tex_size,
+        sky_quads=sky_quads, tex_quads=tex_quads,
         any_textured=any_textured,
     )
