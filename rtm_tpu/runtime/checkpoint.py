@@ -23,10 +23,19 @@ def _flatten(tree):
     return leaves, str(treedef)
 
 
+def _savable(x):
+    """npz-compatible view of a leaf.  Exotic ml_dtypes floats (bfloat16,
+    fp8 — numpy kind 'V') round-trip through .npz as raw void and can't be
+    cast back, so widen them to float32 on disk; load_pytree casts back to
+    the reference leaf's dtype."""
+    a = np.asarray(x)
+    return a.astype(np.float32) if a.dtype.kind == "V" else a
+
+
 def save_pytree(path: str, tree, extra: dict | None = None) -> None:
     """Save any jax pytree to `path` (.npz)."""
     leaves = jax.tree.leaves(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {f"leaf_{i}": _savable(x) for i, x in enumerate(leaves)}
     arrays["__meta__"] = np.frombuffer(
         json.dumps({"n": len(leaves), "extra": extra or {}}).encode(),
         dtype=np.uint8)
