@@ -255,8 +255,10 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
 
     frame_index: traced uint32 scalar (1-based accumulation counter).
     backend: 'xla' | 'pallas' | 'pallas_interpret' (see bounce_payload) |
-    'megakernel' | 'megakernel_interpret' (fully-fused forward path; falls
-    back to the XLA path for the MaxBounces==1 flat-shade preview mode).
+    'megakernel' | 'megakernel_interpret' (fully-fused forward path) |
+    'wavefront' | 'wavefront_interpret' (per-bounce kernel with sorted ray
+    stream); the fused/wavefront paths fall back to the XLA path for the
+    MaxBounces==1 flat-shade preview mode.
     Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples.
     """
     if backend.startswith("megakernel") and cfg.max_bounces > 1:
@@ -264,7 +266,12 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
         return render_megakernel(
             scene, cam, frame_index, cfg,
             interpret=(backend == "megakernel_interpret"))
-    if backend.startswith("megakernel"):
+    if backend.startswith("wavefront") and cfg.max_bounces > 1:
+        from .pallas.wavefront import render_wavefront
+        return render_wavefront(
+            scene, cam, frame_index, cfg,
+            interpret=(backend == "wavefront_interpret"))
+    if backend.startswith(("megakernel", "wavefront")):
         backend = "xla"                      # flat-shade preview fallback
     x, y = pixel_grid(cfg.width, cfg.height)
     incoming = render_pixels(scene, cam, x, y, frame_index, cfg, chunk,

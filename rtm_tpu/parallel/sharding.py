@@ -74,10 +74,15 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
     frame_index = jnp.asarray(frame_index, jnp.uint32)
     n = cfg.num_pixels
 
-    if backend.startswith("megakernel") and cfg.max_bounces > 1:
-        # fused-kernel path: each device runs the megakernel on its
-        # contiguous row-major pixel band (same kernel, per-band offset)
-        from ..ops.pallas.megakernel import render_rays_megakernel
+    if (backend.startswith(("megakernel", "wavefront"))
+            and cfg.max_bounces > 1):
+        # fused-kernel paths: each device runs the kernel on its contiguous
+        # row-major pixel band (same kernel, per-band offset); the wavefront
+        # variant sorts its own band locally — zero cross-device collectives
+        if backend.startswith("wavefront"):
+            from ..ops.pallas.wavefront import render_rays_wavefront as rr
+        else:
+            from ..ops.pallas.megakernel import render_rays_megakernel as rr
         band = -(-n // n_dev)
 
         # check_vma=False: pallas_call's out_shape carries no varying-mesh
@@ -86,9 +91,9 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
                  out_specs=P(DP_AXIS), check_vma=False)
         def shard_mk(scene, cam, fi):
             rank = jax.lax.axis_index(DP_AXIS)
-            return render_rays_megakernel(
+            return rr(
                 scene, cam, fi, cfg, pixel_offset=rank * band, n_rays=band,
-                interpret=(backend == "megakernel_interpret"))
+                interpret=backend.endswith("_interpret"))
 
         out = shard_mk(scene, cam, frame_index)
         return out[:n].reshape(cfg.height, cfg.width, 3)
