@@ -106,9 +106,13 @@ class TracerScene:
     tex_size: jax.Array     # (K,2) i32 actual (H,W) per texture
     # quad-packed bilinear tables (ops/shade.py build_quad_flat): one row per
     # texel holding the 2x2 footprint, so a bilinear tap is ONE TPU gather
-    # instead of four.  Sky f32 (exact); textures bf16 (LDR data, <=0.2%).
+    # instead of four.  Both f32: identical arithmetic to the 4-tap
+    # sample_bilinear, AND the production fetch path — XLA's TPU gather is
+    # ~250x faster when the operand is a plain parameter buffer and the
+    # footprint is one row (scripts/gather_matrix.py: 0.03ms vs 7.3ms per
+    # 262k taps), which is why every renderer samples through these.
     sky_quads: jax.Array    # (Hs*Ws, 12) f32
-    tex_quads: jax.Array    # (K*TH*TW, 12) bf16
+    tex_quads: jax.Array    # (K*TH*TW, 12) f32
 
     # static (non-pytree) metadata: does any material reference a texture?
     # Kernels specialize on this (the megakernel's deferred-texture records
@@ -134,12 +138,12 @@ def _stack_textures(textures: list[np.ndarray]):
     if not textures:
         return (jnp.zeros((1, 1, 1, 3), jnp.float32),
                 jnp.ones((1, 2), jnp.int32),
-                jnp.zeros((1, 12), jnp.bfloat16))
+                jnp.zeros((1, 12), jnp.float32))
     th = max(t.shape[0] for t in textures)
     tw = max(t.shape[1] for t in textures)
     stack = np.zeros((len(textures), th, tw, 3), np.float32)
     sizes = np.zeros((len(textures), 2), np.int32)
-    quads = jnp.zeros((len(textures), th * tw, 12), jnp.bfloat16)
+    quads = jnp.zeros((len(textures), th * tw, 12), jnp.float32)
     for i, t in enumerate(textures):
         h, w = t.shape[0], t.shape[1]
         stack[i, :h, :w] = t[..., :3]
@@ -147,7 +151,7 @@ def _stack_textures(textures: list[np.ndarray]):
         # per-texture quad table at TRUE extent (repeat wrap baked), placed
         # into the padded row layout so base + y*TW + x indexes it
         q = build_quad_flat(t[..., :3], wrap="repeat",
-                            dtype=jnp.bfloat16).reshape(h, w, 12)
+                            dtype=jnp.float32).reshape(h, w, 12)
         quads = quads.at[i].set(
             jnp.pad(q, ((0, th - h), (0, tw - w), (0, 0))).reshape(-1, 12))
     return (jnp.asarray(stack), jnp.asarray(sizes),

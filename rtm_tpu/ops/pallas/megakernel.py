@@ -57,7 +57,7 @@ from ...config import RenderConfig
 from ...models.camera import CameraSpec
 from ...models.scene import TracerScene
 from ..intersect import DET_EPS
-from ..shade import OFFSET, sample_bilinear, sample_texture_array
+from ..shade import OFFSET, sample_texture_quads, sky_color_quads
 
 U32 = jnp.uint32
 BIG = np.float32(1e30)          # in-kernel "miss" sentinel (< FLT_MAX to keep
@@ -394,9 +394,24 @@ def _make_kernel(*, ray_tile, n_clusters, n_sph, max_bounces, max_frames,
                     i_tri = jnp.full((1, r), -1, jnp.int32)
                     if have_tris:
                         if cull:
-                            inv_dx = 1.0 / dx
-                            inv_dy = 1.0 / dy
-                            inv_dz = 1.0 / dz
+                            # NaN-safe slab reciprocals: clamp |d| away from 0
+                            # (sign-preserving).  d==0 would give inf, and
+                            # (lo-o)*inf = NaN when o sits exactly on the
+                            # bound, which the min/max chain resolves to a
+                            # FALSE cull (missed intersection).  With the
+                            # clamp, |d|<eps rays see (+/-)huge slab bounds:
+                            # inside the box -> pass, outside -> empty —
+                            # exactly the true d==0 limit.
+                            eps = jnp.float32(1e-12)
+                            dxs = _select(jnp.abs(dx) < eps,
+                                          _select(dx >= 0.0, eps, -eps), dx)
+                            dys = _select(jnp.abs(dy) < eps,
+                                          _select(dy >= 0.0, eps, -eps), dy)
+                            dzs = _select(jnp.abs(dz) < eps,
+                                          _select(dz >= 0.0, eps, -eps), dz)
+                            inv_dx = 1.0 / dxs
+                            inv_dy = 1.0 / dys
+                            inv_dz = 1.0 / dzs
                         def cluster_pass(c, t_tri, i_tri):
                             lane = slice(c * CLUSTER, (c + 1) * CLUSTER)
                             f = lambda j: feats[lane, j:j + 1]   # (128,1)
@@ -888,8 +903,10 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                     jnp.arcsin(jnp.clip(rb, -1.0 + 1e-6, 1.0 - 1e-6))
                     / PI + 0.5, rb)
                 tid = jnp.where(has_tex, texid.astype(jnp.int32), 0)
-                tex_rgb = sample_texture_array(
-                    scene.textures, scene.tex_size, tid, uu, vv)
+                tex_rgb = sample_texture_quads(
+                    scene.tex_quads, scene.tex_size,
+                    scene.textures.shape[1], scene.textures.shape[2],
+                    tid, uu, vv)
                 t_alb = jnp.where(has_tex[:, None], tex_rgb, 1.0)
                 term = s_term * pt
                 color = color + jnp.where(has_tex[:, None],
@@ -899,7 +916,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
         mdir = miss[frow:frow + 3, :n].T
         mctr = miss[frow + 3:frow + 6, :n].T
         mmask = miss[frow + 6, :n] > 0.5
-        sky_rgb = _sky_fetch(mdir, scene.sky)
+        sky_rgb = sky_color_quads(mdir, scene.sky_quads,
+                                  scene.sky.shape[0], scene.sky.shape[1])
         sky_term = mctr * sky_rgb * draw_env
         if textured:
             sky_term = sky_term * pt
@@ -907,10 +925,3 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
 
     color = color / jnp.float32(frames)                  # shader:711
     return color
-
-
-def _sky_fetch(direction, sky):
-    u = jnp.arctan2(direction[:, 2], direction[:, 0]) / TWO_PI + 0.5
-    v = jnp.arcsin(jnp.clip(direction[:, 1], -1.0 + 1e-6, 1.0 - 1e-6)) \
-        / PI + 0.5
-    return sample_bilinear(sky, u, v, wrap="clamp")

@@ -51,7 +51,7 @@ from ...models.camera import CameraSpec
 from ...models.scene import TracerScene
 from .. import rng
 from ..intersect import DET_EPS
-from ..shade import OFFSET, sample_texture_array
+from ..shade import OFFSET, sample_texture_quads, sky_color_quads
 from .megakernel import (BIG, CLUSTER, NUM_ATTRS, PI, TWO_PI, U32,
                          _A_ABX, _A_ABY, _A_ABZ, _A_ACX, _A_ACY, _A_ACZ,
                          _A_ALB, _A_ALG, _A_ALR, _A_EMB, _A_EMG, _A_EMP,
@@ -64,7 +64,7 @@ from .megakernel import (BIG, CLUSTER, NUM_ATTRS, PI, TWO_PI, U32,
                          _F_NZ, _S_ALB, _S_ALG, _S_ALR, _S_CX, _S_CY, _S_CZ,
                          _S_EMB, _S_EMG, _S_EMP, _S_EMR, _S_METAL, _S_R,
                          _S_REFR, _S_ROUGH, _S_TEX, _cross, _dot, _normalize,
-                         _pack_camera, _rand, _select, _sky_fetch,
+                         _pack_camera, _rand, _select,
                          build_mega_pack)
 from ..trace_ref import camera_ray_basis
 
@@ -124,9 +124,19 @@ def _make_bounce_kernel(*, ray_tile, n_clusters, n_sph, cull):
         i_tri = jnp.full((1, r), -1, jnp.int32)
         if have_tris:
             if cull:
-                inv_dx = 1.0 / dx
-                inv_dy = 1.0 / dy
-                inv_dz = 1.0 / dz
+                # NaN-safe slab reciprocals (see megakernel.py): clamp |d|
+                # away from 0 sign-preservingly so an on-bound origin with
+                # d==0 can't produce NaN -> false cull.
+                eps = jnp.float32(1e-12)
+                dxs = _select(jnp.abs(dx) < eps,
+                              _select(dx >= 0.0, eps, -eps), dx)
+                dys = _select(jnp.abs(dy) < eps,
+                              _select(dy >= 0.0, eps, -eps), dy)
+                dzs = _select(jnp.abs(dz) < eps,
+                              _select(dz >= 0.0, eps, -eps), dz)
+                inv_dx = 1.0 / dxs
+                inv_dy = 1.0 / dys
+                inv_dz = 1.0 / dzs
 
             def cluster_pass(c, t_tri, i_tri):
                 lane = slice(c * CLUSTER, (c + 1) * CLUSTER)
@@ -562,8 +572,10 @@ def render_rays_wavefront(scene: TracerScene, cam: CameraSpec, frame_index,
                     jnp.arcsin(jnp.clip(rb, -1.0 + 1e-6, 1.0 - 1e-6))
                     / PI + 0.5, rb)
                 tid = jnp.where(has_tex, texid.astype(jnp.int32), 0)
-                tex_rgb = sample_texture_array(
-                    scene.textures, scene.tex_size, tid, uu, vv).T  # (3,N)
+                tex_rgb = sample_texture_quads(
+                    scene.tex_quads, scene.tex_size,
+                    scene.textures.shape[1], scene.textures.shape[2],
+                    tid, uu, vv).T                              # (3,N)
                 color = color + jnp.where(has_tex[None, :],
                                           term * tex_rgb, term)
                 ptex = ptex * jnp.where(has_tex[None, :], tex_rgb, 1.0)
@@ -575,7 +587,9 @@ def render_rays_wavefront(scene: TracerScene, cam: CameraSpec, frame_index,
             miss_now = prev_alive & ~new_alive
             mdir = new_state[3:6, :]
             mctr = new_state[_R_CR:_R_CB + 1, :]
-            sky_rgb = _sky_fetch(mdir.T, scene.sky).T          # (3,N)
+            sky_rgb = sky_color_quads(mdir.T, scene.sky_quads,
+                                      scene.sky.shape[0],
+                                      scene.sky.shape[1]).T    # (3,N)
             sky_term = mctr * sky_rgb * draw_env * ptex
             color = color + jnp.where(miss_now[None, :], sky_term, 0.0)
             state = new_state

@@ -133,6 +133,33 @@ def sample_quads(flat_quads, h, w, u, v, wrap: str, base=0, row_w=None):
     return top * (1.0 - fy) + bot * fy
 
 
+def sample_texture_quads(tex_quads, tex_size, th, tw, tex_id, u, v):
+    """Bindless texture sample via the stacked quad table: ONE gather.
+
+    TPU-critical: XLA's gather runs ~250x faster when the operand is a plain
+    buffer (a jit parameter / kernel output) and the whole bilinear footprint
+    is one row — measured 0.03ms vs 7.3ms for 262k taps (scripts/
+    gather_matrix.py).  `tex_quads` is the (K*TH*TW, 12) stacked table built
+    by models/scene.py; th/tw are the padded per-texture extents (python
+    ints); tex_size the true extents.  Repeat wrap is baked into the quad
+    rows at build, so only the base tap is wrapped here.
+    """
+    k = tex_size.shape[0]
+    tid = jnp.clip(tex_id, 0, k - 1)                      # <0 lanes masked out
+    hw = tex_size[tid]                                    # (...,2)
+    return sample_quads(tex_quads, hw[..., 0], hw[..., 1], u, v,
+                        wrap="repeat", base=tid * (th * tw), row_w=tw)
+
+
+def sky_color_quads(direction, sky_quads, h, w):
+    """Equirect sky sample through the quad table (ONE gather) — identical
+    arithmetic to sky_color/sample_bilinear, f32-exact, but on the TPU
+    gather fast path (see sample_texture_quads)."""
+    u = jnp.arctan2(direction[..., 2], direction[..., 0]) / TWO_PI + 0.5
+    v = jnp.arcsin(jnp.clip(direction[..., 1], -1.0 + 1e-6, 1.0 - 1e-6)) / PI + 0.5
+    return sample_quads(sky_quads, h, w, u, v, wrap="clamp")
+
+
 def sample_texture_array(textures, tex_size, tex_id, u, v):
     """Sample the bindless texture array (shader:578) for per-lane tex_id.
 

@@ -26,8 +26,8 @@ from ..models.scene import TracerScene
 from . import rng
 from .intersect import (FLT_MAX, TriFeatures, _mm, dot3, nearest_sphere,
                         nearest_triangle, normalize, safe_normalize)
-from .shade import (flat_shade, sample_texture_array, scatter, sky_color,
-                    sphere_uv)
+from .shade import (flat_shade, sample_texture_quads, scatter,
+                    sky_color_quads, sphere_uv)
 
 
 def pixel_grid(width: int, height: int):
@@ -195,8 +195,10 @@ def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
             sd = sd + i.astype(jnp.uint32)                      # shader:659
             p = bounce_payload(scene, feats, o, d, chunk, backend)
 
-            # miss -> sky (shader:663-666)
-            sky = sky_color(d, scene.sky)
+            # miss -> sky (shader:663-666); quad-table fetch = the TPU
+            # gather fast path (identical f32 arithmetic to sky_color)
+            sky = sky_color_quads(d, scene.sky_quads,
+                                  scene.sky.shape[0], scene.sky.shape[1])
             miss_now = alive & ~p["hit"]
             color = jnp.where(miss_now[:, None],
                               color + sky * contrib * draw_env, color)
@@ -218,8 +220,10 @@ def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
                 color = jnp.where(live[:, None], shade_val, color)
             else:
                 has_tex = m_tex >= 0
-                alb_tex = sample_texture_array(scene.textures, scene.tex_size,
-                                               m_tex, p["u"], p["v"])
+                alb_tex = sample_texture_quads(
+                    scene.tex_quads, scene.tex_size,
+                    scene.textures.shape[1], scene.textures.shape[2],
+                    m_tex, p["u"], p["v"])
                 emis = jnp.where(has_tex[:, None],
                                  alb_tex * m_emp[:, None],
                                  m_emc * m_emp[:, None])        # shader:575-585

@@ -57,6 +57,28 @@ def test_checkpoint_pytree_roundtrip(tmp_path):
                                   np.asarray(scene.materials.albedo))
 
 
+def test_checkpoint_bf16_leaf_roundtrip(tmp_path):
+    """Regression for the npz void-dtype widening fix (commit a0c9510):
+    bfloat16 leaves must survive save/load with dtype AND values intact
+    (np.savez can't store bf16 natively; checkpoint.py widens to f32 and
+    casts back on load)."""
+    tree = {
+        "w_bf16": jnp.asarray(np.linspace(-3, 3, 17), jnp.bfloat16),
+        "w_f32": jnp.asarray(np.linspace(0, 1, 5), jnp.float32),
+        "n_i32": jnp.arange(4, dtype=jnp.int32),
+    }
+    p = str(tmp_path / "bf16.npz")
+    save_pytree(p, tree)
+    restored, _ = load_pytree(p, tree)
+    assert restored["w_bf16"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restored["w_bf16"].astype(jnp.float32)),
+        np.asarray(tree["w_bf16"].astype(jnp.float32)))
+    assert restored["n_i32"].dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(restored["n_i32"]),
+                                  np.asarray(tree["n_i32"]))
+
+
 def test_checkpoint_render_state_resume(tmp_path):
     """Progressive accumulation survives a save/load (reference resets on
     any interruption — SURVEY §5.4; we must not)."""
