@@ -32,9 +32,15 @@ def _add_render_args(p):
     p.add_argument("--no-environment", action="store_true",
                    help="disable sky lighting (DrawEnvironment=0)")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "pallas", "megakernel"])
+                   choices=["auto", "xla", "pallas", "megakernel",
+                            "wavefront", "wavefront2"])
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--debug", type=int, default=0,
+                   help="debug visualization (ref Debug uniform, "
+                        "RayTracing.cpp:130-133): 1 = cluster-passes "
+                        "heatmap (cull effectiveness, the analog of the "
+                        "shader's BVH-depth views)")
 
 
 def _setup(args, want_host_scene: bool = False):
@@ -71,6 +77,28 @@ def cmd_render(args) -> int:
     from rtm_tpu.runtime.renderer import render_progressive
 
     scene, cam, cfg, backend = _setup(args)
+    if getattr(args, "debug", 0):
+        # debug visualization (reference Debug uniform feeding BVH-depth /
+        # box heatmaps, RayTracing.cpp:130-133, RayTracing.shader:345-374):
+        # mode 1 renders the cluster-passes-per-ray heatmap — the direct
+        # measure of tile-uniform cull effectiveness.
+        import jax.numpy as jnp
+
+        from rtm_tpu.ops.wavefront2 import render_rays_wavefront2
+        _, passes = render_rays_wavefront2(
+            scene, cam.spec(cfg.width, cfg.height), jnp.uint32(1), cfg,
+            pixel_offset=jnp.int32(0), n_rays=cfg.num_pixels,
+            debug_passes=True)
+        hm = np.asarray(passes, np.float32).reshape(cfg.height, cfg.width)
+        mx = max(hm.max(), 1.0)
+        t = hm / mx
+        # blue (cheap) -> red (expensive) ramp
+        img = np.stack([t, 0.25 + 0.5 * np.abs(t - 0.5), 1.0 - t], axis=-1)
+        save_png(args.out, img[::-1])
+        print(f"wrote {args.out}  (debug={args.debug}: cluster-pass "
+              f"heatmap, max {int(hm.max())} passes over "
+              f"{cfg.max_bounces} bounces, mean {hm.mean():.1f})")
+        return 0
     img = np.asarray(render_progressive(
         scene, cam.spec(cfg.width, cfg.height), cfg, args.frames,
         backend=backend))

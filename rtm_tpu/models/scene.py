@@ -119,6 +119,12 @@ class TracerScene:
     # are only emitted when true).
     any_textured: bool = field(default=False, metadata=dict(static=True))
 
+    # static SAH-treelet cluster cut (accel/clusters.py): tuple of (lo, hi)
+    # triangle ranges, contiguous in the stored (permuted) triangle order.
+    # Empty tuple = no cut available; kernels fall back to fixed 128-wide
+    # slicing of the stored order.
+    cluster_slices: tuple = field(default=(), metadata=dict(static=True))
+
     @property
     def num_spheres(self) -> int:
         return self.sph_pos.shape[0]
@@ -188,11 +194,13 @@ def _morton_order(wa: np.ndarray, wb: np.ndarray, wc: np.ndarray):
     return np.argsort(code, kind="stable")
 
 
-def build_tracer_scene(scene: Scene, order: str = "morton") -> TracerScene:
+def build_tracer_scene(scene: Scene, order: str = "bvh") -> TracerScene:
     """Flatten the host scene into the device layout (SceneWrapper parity).
 
-    order: 'morton' (default — spatially sort triangles for tight kernel
-    clusters) or 'buffer' (reference traversal order, exact tie parity).
+    order: 'bvh' (default — SAH-BVH treelet cut, accel/clusters.py: the
+    production acceleration structure, tightest cluster AABBs), 'morton'
+    (global Morton sort, round-1 clustering) or 'buffer' (reference
+    traversal order, exact tie parity).
     """
     mats = Materials.from_list(scene.materials)
 
@@ -238,12 +246,18 @@ def build_tracer_scene(scene: Scene, order: str = "morton") -> TracerScene:
     tri_uv = np.concatenate(uv).astype(np.float32) if uv else np.zeros((0, 3, 2), np.float32)
     tri_mat = np.concatenate(mat) if mat else np.zeros((0,), np.int32)
 
-    if order == "morton" and tri_wa.shape[0] > 1:
-        perm = _morton_order(tri_wa, tri_wb, tri_wc)
+    cluster_slices: tuple = ()
+    if order in ("bvh", "morton") and tri_wa.shape[0] > 1:
+        if order == "bvh":
+            from ..accel.clusters import bvh_cluster_slices
+            perm, cluster_slices = bvh_cluster_slices(
+                np.stack([tri_wa, tri_wb, tri_wc], axis=1))
+        else:
+            perm = _morton_order(tri_wa, tri_wb, tri_wc)
         tri_wa, tri_wb, tri_wc = tri_wa[perm], tri_wb[perm], tri_wc[perm]
         tri_la, tri_lab, tri_lac = tri_la[perm], tri_lab[perm], tri_lac[perm]
         tri_normal, tri_uv, tri_mat = tri_normal[perm], tri_uv[perm], tri_mat[perm]
-    elif order not in ("morton", "buffer"):
+    elif order not in ("bvh", "morton", "buffer"):
         raise ValueError(f"unknown triangle order {order!r}")
 
     any_textured = any(int(m.texture_id) >= 0 for m in scene.materials)
@@ -268,4 +282,5 @@ def build_tracer_scene(scene: Scene, order: str = "morton") -> TracerScene:
         textures=textures, tex_size=tex_size,
         sky_quads=sky_quads, tex_quads=tex_quads,
         any_textured=any_textured,
+        cluster_slices=cluster_slices,
     )

@@ -112,23 +112,38 @@ class MegaPack(NamedTuple):
     spheres: jax.Array | None      # (S', 16) f32
     n_clusters: int
     n_spheres_padded: int
+    # static cluster layout in the padded tables: per-cluster (row offset,
+    # padded width).  Widths are 8-sublane multiples; variable when the
+    # scene carries a SAH treelet cut (accel/clusters.py), uniform 128
+    # otherwise.
+    cluster_offsets: tuple = ()
+    cluster_widths: tuple = ()
+    # (T',) i32: padded-table row -> scene triangle id, -1 for padding —
+    # lets the XLA side gather scene leaves from a kernel argmin index
+    padded_to_real: jax.Array | None = None
+
+    @property
+    def n_padded_tris(self) -> int:
+        return sum(self.cluster_widths)
 
 
 def build_mega_pack(scene: TracerScene) -> MegaPack:
     """Pack the flattened scene into megakernel tables.  Pure jnp — traced
     inside the render jit, so scene-parameter gradients are N/A here (the
     megakernel is the forward/production path; autodiff uses the XLA path).
+
+    Clusters follow the scene's SAH treelet cut when present (tight,
+    variable-width — the production acceleration structure), else fixed
+    128-triangle slices of the stored order.
     """
     t = scene.num_triangles
     if t > 0:
-        c_count = -(-t // CLUSTER)
-        tp = c_count * CLUSTER
-        pad = tp - t
+        slices = scene.cluster_slices or tuple(
+            (i * CLUSTER, min((i + 1) * CLUSTER, t))
+            for i in range(-(-t // CLUSTER)))
+        c_count = len(slices)
 
-        def padt(x):
-            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-
-        a, b, c = padt(scene.tri_wa), padt(scene.tri_wb), padt(scene.tri_wc)
+        a, b, c = scene.tri_wa, scene.tri_wb, scene.tri_wc     # (T,3)
         ab = b - a
         ac = c - a
         n = jnp.cross(ab, ac)
@@ -136,12 +151,11 @@ def build_mega_pack(scene: TracerScene) -> MegaPack:
         g1 = jnp.cross(ac, a)
         g2 = jnp.cross(ab, a)
 
-        # padding triangles have n = 0, so det == 0 fails the det > eps gate
         feats = jnp.stack([n[:, 0], n[:, 1], n[:, 2], an,
                            ab[:, 0], ab[:, 1], ab[:, 2],
                            ac[:, 0], ac[:, 1], ac[:, 2],
                            g1[:, 0], g1[:, 1], g1[:, 2],
-                           g2[:, 0], g2[:, 1], g2[:, 2]], axis=1)  # (T',16)
+                           g2[:, 0], g2[:, 1], g2[:, 2]], axis=1)  # (T,16)
 
         mats = scene.materials
         tm = scene.tri_mat
@@ -152,9 +166,6 @@ def build_mega_pack(scene: TracerScene) -> MegaPack:
         metal = jnp.take(mats.metallic, tm)
         refr = jnp.take(mats.refraction_ratio, tm)
         texid = jnp.take(mats.texture_id, tm).astype(jnp.float32)
-
-        def padr(x):
-            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
         la, lab, lac = scene.tri_la, scene.tri_lab, scene.tri_lac
         uv = scene.tri_uv                                        # (T,3,2)
@@ -168,25 +179,49 @@ def build_mega_pack(scene: TracerScene) -> MegaPack:
                 lac[:, 0], lac[:, 1], lac[:, 2],
                 uv[:, 0, 0], uv[:, 0, 1], uv[:, 1, 0], uv[:, 1, 1],
                 uv[:, 2, 0], uv[:, 2, 1],
-                # geometric plane (unpadded slice of n/an) for exact-t
-                # recovery of the winner
-                n[:t, 0], n[:t, 1], n[:t, 2], an[:t]]
+                # geometric plane for exact-t recovery of the winner
+                n[:, 0], n[:, 1], n[:, 2], an]
         rows += [jnp.zeros((t,), jnp.float32)] * (NUM_ATTRS - len(rows))
-        # pad texid row with -1 so dead extractions read "no texture"
-        attrs = jnp.stack([padr(r) for r in rows], axis=0)       # (32, T')
-        attrs = attrs.at[_A_TEX, t:].set(-1.0)
+        attrs = jnp.stack(rows, axis=0)                          # (40, T)
 
-        verts = jnp.stack([a, b, c], axis=1)                     # (T',3,3)
-        real = jnp.arange(tp)[:, None] < t
-        vmin = jnp.where(real, verts.min(axis=1), BIG)
-        vmax = jnp.where(real, verts.max(axis=1), -BIG)
-        box_lo = vmin.reshape(c_count, CLUSTER, 3).min(axis=1)
-        box_hi = vmax.reshape(c_count, CLUSTER, 3).max(axis=1)
-        boxes = jnp.concatenate(
-            [box_lo, box_hi, jnp.zeros((c_count, 2), jnp.float32)], axis=1)
+        verts = jnp.stack([a, b, c], axis=1)                     # (T,3,3)
+        vmin = verts.min(axis=1)
+        vmax = verts.max(axis=1)
+
+        # assemble padded cluster segments: width -> 8-sublane multiple;
+        # padding triangles have n = 0 (det==0 fails the gate) and
+        # texid = -1 so dead extractions read "no texture"
+        offs, widths = [], []
+        f_parts, a_parts, box_rows = [], [], []
+        off = 0
+        for lo, hi in slices:
+            w_real = hi - lo
+            w_pad = max(8, -(-w_real // 8) * 8)
+            fseg = jnp.pad(feats[lo:hi], ((0, w_pad - w_real), (0, 0)))
+            aseg = jnp.pad(attrs[:, lo:hi], ((0, 0), (0, w_pad - w_real)))
+            if w_pad > w_real:
+                aseg = aseg.at[_A_TEX, w_real:].set(-1.0)
+            f_parts.append(fseg)
+            a_parts.append(aseg)
+            box_rows.append(jnp.concatenate(
+                [vmin[lo:hi].min(axis=0), vmax[lo:hi].max(axis=0),
+                 jnp.zeros((2,), jnp.float32)]))
+            offs.append(off)
+            widths.append(w_pad)
+            off += w_pad
+        feats = jnp.concatenate(f_parts, axis=0)                 # (T',16)
+        attrs = jnp.concatenate(a_parts, axis=1)                 # (40,T')
+        boxes = jnp.stack(box_rows, axis=0)                      # (C,8)
+        offs, widths = tuple(offs), tuple(widths)
+        p2r = np.full(sum(widths), -1, np.int32)
+        for (lo, hi), off_ in zip(slices, offs):
+            p2r[off_:off_ + (hi - lo)] = np.arange(lo, hi)
+        p2r = jnp.asarray(p2r)
     else:
         feats = attrs = boxes = None
         c_count = 0
+        offs = widths = ()
+        p2r = None
 
     s = scene.num_spheres
     if s > 0:
@@ -216,7 +251,7 @@ def build_mega_pack(scene: TracerScene) -> MegaPack:
         sph = None
         sp = 0
 
-    return MegaPack(feats, attrs, boxes, sph, c_count, sp)
+    return MegaPack(feats, attrs, boxes, sph, c_count, sp, offs, widths, p2r)
 
 
 # ---------------------------------------------------------------------------
@@ -258,11 +293,113 @@ def _select(m, a, b):
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(*, ray_tile, n_clusters, n_sph, max_bounces, max_frames,
-                 textured, cull, width, height, early_exit):
+def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
+               ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, cull,
+               count_passes=False):
+    """Nearest-triangle sweep over variable-width SAH clusters.
+
+    All lanes visit a cluster together; a tile-uniform AABB cond skips
+    clusters no live ray can improve on (the TPU-shaped stand-in for the
+    reference's per-thread BVH traversal, shader:324-484).  Returns
+    (t_tri (1,R) approx-ordering distance, i_tri (1,R) padded-table index)
+    plus, when count_passes, the number of cluster passes this tile ran
+    (a (1,R) i32 broadcast — the cull-effectiveness / debug-heatmap probe).
+    Shared by the megakernel and the wavefront bounce kernels.
+    """
+    r = ray_tile
+    t_tri = jnp.full((1, r), BIG)
+    i_tri = jnp.full((1, r), -1, jnp.int32)
+    npass = jnp.zeros((1, r), jnp.int32)
+    if cull:
+        # NaN-safe slab reciprocals: clamp |d| away from 0
+        # (sign-preserving).  d==0 would give inf, and (lo-o)*inf = NaN
+        # when o sits exactly on the bound, which the min/max chain
+        # resolves to a FALSE cull (missed intersection).  With the
+        # clamp, |d|<eps rays see (+/-)huge slab bounds: inside the box
+        # -> pass, outside -> empty — exactly the true d==0 limit.
+        eps = jnp.float32(1e-12)
+        dxs = _select(jnp.abs(dx) < eps,
+                      _select(dx >= 0.0, eps, -eps), dx)
+        dys = _select(jnp.abs(dy) < eps,
+                      _select(dy >= 0.0, eps, -eps), dy)
+        dzs = _select(jnp.abs(dz) < eps,
+                      _select(dz >= 0.0, eps, -eps), dz)
+        inv_dx = 1.0 / dxs
+        inv_dy = 1.0 / dys
+        inv_dz = 1.0 / dzs
+
+    def cluster_pass(off, wdt, t_tri, i_tri):
+        lane = slice(off, off + wdt)
+        f = lambda j: feats[lane, j:j + 1]                    # (W,1)
+        det = -(dx * f(_F_NX) + dy * f(_F_NY) + dz * f(_F_NZ))
+        tdet = (ox * f(_F_NX) + oy * f(_F_NY)
+                + oz * f(_F_NZ)) - f(_F_AN)
+        udet = (wx * f(_F_ACX) + wy * f(_F_ACY) + wz * f(_F_ACZ)) \
+            - (dx * f(_F_G1X) + dy * f(_F_G1Y) + dz * f(_F_G1Z))
+        vdet = (dx * f(_F_G2X) + dy * f(_F_G2Y) + dz * f(_F_G2Z)) \
+            - (wx * f(_F_ABX) + wy * f(_F_ABY) + wz * f(_F_ABZ))
+        wdet = det - udet - vdet
+        # validity as one min-chain: det > eps and all other dets >= 0
+        # (shader:301-303 gates)
+        m = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
+                        jnp.minimum(jnp.minimum(udet, vdet), wdet))
+        valid = m >= 0.0
+        # approximate reciprocal is ordering-only: the winner's exact t
+        # is recovered from its plane equation after extraction
+        ta = tdet * pl.reciprocal(jnp.maximum(det, DET_EPS), approx=True)
+        tt = _select(valid, ta, BIG)                          # (W,R)
+        crow = jax.lax.broadcasted_iota(jnp.int32, (wdt, r), 0)
+        cmin = jnp.min(tt, axis=0, keepdims=True)
+        cand = jnp.min(_select(tt == cmin, crow, jnp.int32(2 ** 30)),
+                       axis=0, keepdims=True)
+        better = cmin < t_tri
+        return (_select(better, cmin, t_tri),
+                _select(better, cand + off, i_tri))
+
+    for ci, (off, wdt) in enumerate(zip(offsets, widths)):
+        if cull:
+            lox, loy, loz = boxes[ci, 0], boxes[ci, 1], boxes[ci, 2]
+            hix, hiy, hiz = boxes[ci, 3], boxes[ci, 4], boxes[ci, 5]
+            t1x = (lox - ox) * inv_dx
+            t2x = (hix - ox) * inv_dx
+            t1y = (loy - oy) * inv_dy
+            t2y = (hiy - oy) * inv_dy
+            t1z = (loz - oz) * inv_dz
+            t2z = (hiz - oz) * inv_dz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z))
+            near = _select((tf >= 0.0) & (tn <= tf), tn, BIG)
+            improves = jnp.any((near < t_tri) & alive)
+            if count_passes:
+                t_tri, i_tri, npass = jax.lax.cond(
+                    improves,
+                    lambda t, i, n, _o=off, _w=wdt: (
+                        *cluster_pass(_o, _w, t, i), n + 1),
+                    lambda t, i, n: (t, i, n),
+                    t_tri, i_tri, npass)
+            else:
+                t_tri, i_tri = jax.lax.cond(
+                    improves, functools.partial(cluster_pass, off, wdt),
+                    lambda a, b: (a, b), t_tri, i_tri)
+        else:
+            t_tri, i_tri = cluster_pass(off, wdt, t_tri, i_tri)
+            npass = npass + 1
+    if count_passes:
+        return t_tri, i_tri, npass
+    return t_tri, i_tri
+
+
+def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
+                 max_bounces, max_frames, textured, cull, width, height,
+                 early_exit):
     """Returns the kernel fn closed over all static configuration."""
     r = ray_tile
-    have_tris = n_clusters > 0
+    have_tris = len(cluster_widths) > 0
+    tp_total = sum(cluster_widths)
     have_sph = n_sph > 0
 
     def kernel(*refs):
@@ -335,9 +472,7 @@ def _make_kernel(*, ray_tile, n_clusters, n_sph, max_bounces, max_frames,
         col_b = jnp.zeros((1, r), jnp.float32)
 
         if have_tris:
-            tri_rows = jax.lax.broadcasted_iota(
-                jnp.int32, (n_clusters * CLUSTER, r), 0)
-            crow = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, r), 0)
+            tri_rows = jax.lax.broadcasted_iota(jnp.int32, (tp_total, r), 0)
         if have_sph:
             srow = jax.lax.broadcasted_iota(jnp.int32, (n_sph, r), 0)
 
@@ -388,99 +523,15 @@ def _make_kernel(*, ray_tile, n_clusters, n_sph, max_bounces, max_frames,
                      col_r, col_g, col_b) = carry
                     seed = seed + U32(b)                       # shader:659
 
-                    # ---- nearest triangle: MXU-det cluster sweep ---------
+                    # ---- nearest triangle: SAH-cluster sweep -------------
                     wx, wy, wz = _cross(ox, oy, oz, dx, dy, dz)
                     t_tri = jnp.full((1, r), BIG)
                     i_tri = jnp.full((1, r), -1, jnp.int32)
                     if have_tris:
-                        if cull:
-                            # NaN-safe slab reciprocals: clamp |d| away from 0
-                            # (sign-preserving).  d==0 would give inf, and
-                            # (lo-o)*inf = NaN when o sits exactly on the
-                            # bound, which the min/max chain resolves to a
-                            # FALSE cull (missed intersection).  With the
-                            # clamp, |d|<eps rays see (+/-)huge slab bounds:
-                            # inside the box -> pass, outside -> empty —
-                            # exactly the true d==0 limit.
-                            eps = jnp.float32(1e-12)
-                            dxs = _select(jnp.abs(dx) < eps,
-                                          _select(dx >= 0.0, eps, -eps), dx)
-                            dys = _select(jnp.abs(dy) < eps,
-                                          _select(dy >= 0.0, eps, -eps), dy)
-                            dzs = _select(jnp.abs(dz) < eps,
-                                          _select(dz >= 0.0, eps, -eps), dz)
-                            inv_dx = 1.0 / dxs
-                            inv_dy = 1.0 / dys
-                            inv_dz = 1.0 / dzs
-                        def cluster_pass(c, t_tri, i_tri):
-                            lane = slice(c * CLUSTER, (c + 1) * CLUSTER)
-                            f = lambda j: feats[lane, j:j + 1]   # (128,1)
-                            det = -(dx * f(_F_NX) + dy * f(_F_NY)
-                                    + dz * f(_F_NZ))
-                            tdet = (ox * f(_F_NX) + oy * f(_F_NY)
-                                    + oz * f(_F_NZ)) - f(_F_AN)
-                            udet = (wx * f(_F_ACX) + wy * f(_F_ACY)
-                                    + wz * f(_F_ACZ)) \
-                                - (dx * f(_F_G1X) + dy * f(_F_G1Y)
-                                   + dz * f(_F_G1Z))
-                            vdet = (dx * f(_F_G2X) + dy * f(_F_G2Y)
-                                    + dz * f(_F_G2Z)) \
-                                - (wx * f(_F_ABX) + wy * f(_F_ABY)
-                                   + wz * f(_F_ABZ))
-                            wdet = det - udet - vdet
-                            # validity as one min-chain: det > eps and all
-                            # other dets >= 0 (shader:301-303 gates)
-                            m = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
-                                            jnp.minimum(jnp.minimum(udet,
-                                                                    vdet),
-                                                        wdet))
-                            valid = m >= 0.0
-                            # approximate reciprocal is ordering-only: the
-                            # winner's exact t is recovered from its plane
-                            # equation after extraction
-                            ta = tdet * pl.reciprocal(
-                                jnp.maximum(det, DET_EPS), approx=True)
-                            tt = _select(valid, ta, BIG)         # (128,R)
-                            cmin = jnp.min(tt, axis=0, keepdims=True)
-                            cand = jnp.min(
-                                _select(tt == cmin, crow, jnp.int32(2 ** 30)),
-                                axis=0, keepdims=True)
-                            better = cmin < t_tri
-                            return (_select(better, cmin, t_tri),
-                                    _select(better, cand + c * CLUSTER,
-                                            i_tri))
-
-                        for c in range(n_clusters):
-                            if cull:
-                                lox, loy, loz = (boxes[c, 0], boxes[c, 1],
-                                                 boxes[c, 2])
-                                hix, hiy, hiz = (boxes[c, 3], boxes[c, 4],
-                                                 boxes[c, 5])
-                                t1x = (lox - ox) * inv_dx
-                                t2x = (hix - ox) * inv_dx
-                                t1y = (loy - oy) * inv_dy
-                                t2y = (hiy - oy) * inv_dy
-                                t1z = (loz - oz) * inv_dz
-                                t2z = (hiz - oz) * inv_dz
-                                tn = jnp.maximum(
-                                    jnp.maximum(jnp.minimum(t1x, t2x),
-                                                jnp.minimum(t1y, t2y)),
-                                    jnp.minimum(t1z, t2z))
-                                tf = jnp.minimum(
-                                    jnp.minimum(jnp.maximum(t1x, t2x),
-                                                jnp.maximum(t1y, t2y)),
-                                    jnp.maximum(t1z, t2z))
-                                near = _select((tf >= 0.0) & (tn <= tf),
-                                               tn, BIG)
-                                improves = jnp.any(
-                                    (near < t_tri) & alive)
-                                t_tri, i_tri = jax.lax.cond(
-                                    improves,
-                                    functools.partial(cluster_pass, c),
-                                    lambda a, b: (a, b),
-                                    t_tri, i_tri)
-                            else:
-                                t_tri, i_tri = cluster_pass(c, t_tri, i_tri)
+                        t_tri, i_tri = _tri_sweep(
+                            feats, boxes, cluster_offsets, cluster_widths,
+                            r, ox, oy, oz, dx, dy, dz, wx, wy, wz, alive,
+                            cull)
 
                     # ---- nearest sphere (shader:486-524) -----------------
                     t_sph = jnp.full((1, r), BIG)
@@ -825,7 +876,7 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     pix0 = jnp.asarray(pixel_offset, jnp.int32).reshape(1, 1)
     inputs = [camf, fidx, pix0]
     if pack.n_clusters > 0:
-        tp = pack.n_clusters * CLUSTER
+        tp = pack.n_padded_tris
         in_specs += [
             pl.BlockSpec((tp, 16), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ATTRS, tp), const, memory_space=pltpu.VMEM),
@@ -852,7 +903,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                                       memory_space=pltpu.VMEM))
 
     kernel = _make_kernel(
-        ray_tile=r, n_clusters=pack.n_clusters,
+        ray_tile=r, cluster_offsets=pack.cluster_offsets,
+        cluster_widths=pack.cluster_widths,
         n_sph=pack.n_spheres_padded, max_bounces=bounces,
         max_frames=frames, textured=textured, cull=cull,
         width=w, height=h, early_exit=early_exit)

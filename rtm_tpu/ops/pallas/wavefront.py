@@ -64,7 +64,7 @@ from .megakernel import (BIG, CLUSTER, NUM_ATTRS, PI, TWO_PI, U32,
                          _F_NZ, _S_ALB, _S_ALG, _S_ALR, _S_CX, _S_CY, _S_CZ,
                          _S_EMB, _S_EMG, _S_EMP, _S_EMR, _S_METAL, _S_R,
                          _S_REFR, _S_ROUGH, _S_TEX, _cross, _dot, _normalize,
-                         _pack_camera, _rand, _select,
+                         _pack_camera, _rand, _select, _tri_sweep,
                          build_mega_pack)
 from ..trace_ref import camera_ray_basis
 
@@ -85,10 +85,12 @@ _REC_TEX = 6                            # texture id or -1
 _REC_SFLAG = 7                          # sphere-with-texture flag
 
 
-def _make_bounce_kernel(*, ray_tile, n_clusters, n_sph, cull):
+def _make_bounce_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
+                        cull):
     """One path-tracing bounce over a tile of the sorted ray stream."""
     r = ray_tile
-    have_tris = n_clusters > 0
+    have_tris = len(cluster_widths) > 0
+    tp_total = sum(cluster_widths)
     have_sph = n_sph > 0
 
     def kernel(*refs):
@@ -112,82 +114,18 @@ def _make_bounce_kernel(*, ray_tile, n_clusters, n_sph, cull):
         seed = seed + bidx[0, 0]                              # shader:659
 
         if have_tris:
-            tri_rows = jax.lax.broadcasted_iota(
-                jnp.int32, (n_clusters * CLUSTER, r), 0)
-            crow = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, r), 0)
+            tri_rows = jax.lax.broadcasted_iota(jnp.int32, (tp_total, r), 0)
         if have_sph:
             srow = jax.lax.broadcasted_iota(jnp.int32, (n_sph, r), 0)
 
-        # ---- nearest triangle: culled cluster sweep (megakernel parity) --
+        # ---- nearest triangle: culled SAH-cluster sweep (shared helper) --
         wx, wy, wz = _cross(ox, oy, oz, dx, dy, dz)
         t_tri = jnp.full((1, r), BIG)
         i_tri = jnp.full((1, r), -1, jnp.int32)
         if have_tris:
-            if cull:
-                # NaN-safe slab reciprocals (see megakernel.py): clamp |d|
-                # away from 0 sign-preservingly so an on-bound origin with
-                # d==0 can't produce NaN -> false cull.
-                eps = jnp.float32(1e-12)
-                dxs = _select(jnp.abs(dx) < eps,
-                              _select(dx >= 0.0, eps, -eps), dx)
-                dys = _select(jnp.abs(dy) < eps,
-                              _select(dy >= 0.0, eps, -eps), dy)
-                dzs = _select(jnp.abs(dz) < eps,
-                              _select(dz >= 0.0, eps, -eps), dz)
-                inv_dx = 1.0 / dxs
-                inv_dy = 1.0 / dys
-                inv_dz = 1.0 / dzs
-
-            def cluster_pass(c, t_tri, i_tri):
-                lane = slice(c * CLUSTER, (c + 1) * CLUSTER)
-                f = lambda j: feats[lane, j:j + 1]            # (128,1)
-                det = -(dx * f(_F_NX) + dy * f(_F_NY) + dz * f(_F_NZ))
-                tdet = (ox * f(_F_NX) + oy * f(_F_NY)
-                        + oz * f(_F_NZ)) - f(_F_AN)
-                udet = (wx * f(_F_ACX) + wy * f(_F_ACY) + wz * f(_F_ACZ)) \
-                    - (dx * f(_F_G1X) + dy * f(_F_G1Y) + dz * f(_F_G1Z))
-                vdet = (dx * f(_F_G2X) + dy * f(_F_G2Y) + dz * f(_F_G2Z)) \
-                    - (wx * f(_F_ABX) + wy * f(_F_ABY) + wz * f(_F_ABZ))
-                wdet = det - udet - vdet
-                m = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
-                                jnp.minimum(jnp.minimum(udet, vdet), wdet))
-                valid = m >= 0.0
-                ta = tdet * pl.reciprocal(jnp.maximum(det, DET_EPS),
-                                          approx=True)
-                tt = _select(valid, ta, BIG)                   # (128,R)
-                cmin = jnp.min(tt, axis=0, keepdims=True)
-                cand = jnp.min(
-                    _select(tt == cmin, crow, jnp.int32(2 ** 30)),
-                    axis=0, keepdims=True)
-                better = cmin < t_tri
-                return (_select(better, cmin, t_tri),
-                        _select(better, cand + c * CLUSTER, i_tri))
-
-            for c in range(n_clusters):
-                if cull:
-                    lox, loy, loz = boxes[c, 0], boxes[c, 1], boxes[c, 2]
-                    hix, hiy, hiz = boxes[c, 3], boxes[c, 4], boxes[c, 5]
-                    t1x = (lox - ox) * inv_dx
-                    t2x = (hix - ox) * inv_dx
-                    t1y = (loy - oy) * inv_dy
-                    t2y = (hiy - oy) * inv_dy
-                    t1z = (loz - oz) * inv_dz
-                    t2z = (hiz - oz) * inv_dz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t1x, t2x),
-                                    jnp.minimum(t1y, t2y)),
-                        jnp.minimum(t1z, t2z))
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t1x, t2x),
-                                    jnp.maximum(t1y, t2y)),
-                        jnp.maximum(t1z, t2z))
-                    near = _select((tf >= 0.0) & (tn <= tf), tn, BIG)
-                    improves = jnp.any((near < t_tri) & alive)
-                    t_tri, i_tri = jax.lax.cond(
-                        improves, functools.partial(cluster_pass, c),
-                        lambda a, b: (a, b), t_tri, i_tri)
-                else:
-                    t_tri, i_tri = cluster_pass(c, t_tri, i_tri)
+            t_tri, i_tri = _tri_sweep(
+                feats, boxes, cluster_offsets, cluster_widths, r,
+                ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, cull)
 
         # ---- nearest sphere (shader:486-524) -----------------------------
         t_sph = jnp.full((1, r), BIG)
@@ -398,7 +336,7 @@ def _bounce_call(pack, state, bounce, *, ray_tile, cull, interpret):
     in_specs = [pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM)]
     inputs = [jnp.asarray(bounce, jnp.uint32).reshape(1, 1)]
     if pack.n_clusters > 0:
-        tp = pack.n_clusters * CLUSTER
+        tp = pack.n_padded_tris
         in_specs += [
             pl.BlockSpec((tp, 16), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_ATTRS, tp), const, memory_space=pltpu.VMEM),
@@ -415,7 +353,8 @@ def _bounce_call(pack, state, bounce, *, ray_tile, cull, interpret):
     inputs.append(state)
 
     kernel = _make_bounce_kernel(
-        ray_tile=ray_tile, n_clusters=pack.n_clusters,
+        ray_tile=ray_tile, cluster_offsets=pack.cluster_offsets,
+        cluster_widths=pack.cluster_widths,
         n_sph=pack.n_spheres_padded, cull=cull)
 
     try:

@@ -83,15 +83,19 @@ def _triangle_t_from_idx(scene: TracerScene, origin, direction, idx):
 
 
 def bounce_payload(scene: TracerScene, feats: TriFeatures, origin, direction,
-                   chunk: int, backend: str = "xla"):
+                   chunk: int, backend: str = "xla", tri_hit=None):
     """bounceRay + closestHit (shader:510-548, 235-283) over all lanes.
 
     Returns dict of per-lane hit data. Sphere wins distance ties (the
     reference checks triangles with strict `<` after spheres).
     backend: 'xla' (chunked scan sweep) | 'pallas' (TPU kernel) |
-    'pallas_interpret' (kernel in interpreter mode, for CPU tests)."""
+    'pallas_interpret' (kernel in interpreter mode, for CPU tests).
+    tri_hit: optional precomputed (t_t, i_t) nearest-triangle result (the
+    sorted-wavefront renderer runs its own sweep kernel)."""
     t_s, i_s = nearest_sphere(origin, direction, scene.sph_pos, scene.sph_radius)
-    if backend == "xla" or scene.num_triangles == 0:
+    if tri_hit is not None:
+        t_t, i_t = tri_hit
+    elif backend == "xla" or scene.num_triangles == 0:
         t_t, i_t = nearest_triangle(origin, direction, feats, chunk=chunk)
     else:
         from .pallas.intersect_kernel import nearest_triangle_pallas
@@ -153,6 +157,56 @@ def bounce_payload(scene: TracerScene, feats: TriFeatures, origin, direction,
     )
 
 
+def shade_bounce(scene: TracerScene, cfg: RenderConfig, draw_env,
+                 o, d, sd, color, contrib, alive, p):
+    """Sky-on-miss, emission/texture accumulation and scatter for one bounce
+    given its hit payload (shader:550-649 accumulateColor/scatter +
+    :663-666 miss).  Returns the updated (o, d, sd, color, contrib, alive).
+    Shared by the dense scan renderer and the sorted-wavefront renderer.
+    """
+    mats = scene.materials
+    # miss -> sky (shader:663-666); quad-table fetch = the TPU gather
+    # fast path (identical f32 arithmetic to sky_color)
+    sky = sky_color_quads(d, scene.sky_quads,
+                          scene.sky.shape[0], scene.sky.shape[1])
+    miss_now = alive & ~p["hit"]
+    color = jnp.where(miss_now[:, None],
+                      color + sky * contrib * draw_env, color)
+
+    live = alive & p["hit"]
+    m_rough = _gather(mats.roughness, p["mat"])
+    m_metal = _gather(mats.metallic, p["mat"])
+    m_refr = _gather(mats.refraction_ratio, p["mat"])
+    m_albedo = _gather(mats.albedo, p["mat"])
+    m_emc = _gather(mats.emission_color, p["mat"])
+    m_emp = _gather(mats.emission_power, p["mat"])
+    m_tex = _gather(mats.texture_id, p["mat"])
+
+    no, nd, nsd = scatter(o, d, sd, p["hit_pos"], p["normal"],
+                          m_rough, m_metal, m_refr)
+
+    if cfg.max_bounces == 1:
+        shade_val = flat_shade(m_albedo, p["normal"])       # shader:566-571
+        color = jnp.where(live[:, None], shade_val, color)
+    else:
+        has_tex = m_tex >= 0
+        alb_tex = sample_texture_quads(
+            scene.tex_quads, scene.tex_size,
+            scene.textures.shape[1], scene.textures.shape[2],
+            m_tex, p["u"], p["v"])
+        emis = jnp.where(has_tex[:, None],
+                         alb_tex * m_emp[:, None],
+                         m_emc * m_emp[:, None])            # shader:575-585
+        albedo = jnp.where(has_tex[:, None], alb_tex, m_albedo)
+        color = jnp.where(live[:, None], color + emis * contrib, color)
+        contrib = jnp.where(live[:, None], contrib * albedo, contrib)
+
+    o = jnp.where(live[:, None], no, o)
+    d = jnp.where(live[:, None], nd, d)
+    sd = jnp.where(live, nsd, sd)
+    return o, d, sd, color, contrib, live
+
+
 def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
                   cfg: RenderConfig, chunk: int = 512, backend: str = "xla",
                   remat: bool = False):
@@ -171,7 +225,6 @@ def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
     frame_index = jnp.asarray(frame_index, jnp.uint32)
 
     draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
-    mats = scene.materials
     res = jnp.array([cfg.width, cfg.height], jnp.float32)
 
     incoming = jnp.zeros((n, 3), jnp.float32)
@@ -194,48 +247,8 @@ def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
             o, d, sd, color, contrib, alive = carry
             sd = sd + i.astype(jnp.uint32)                      # shader:659
             p = bounce_payload(scene, feats, o, d, chunk, backend)
-
-            # miss -> sky (shader:663-666); quad-table fetch = the TPU
-            # gather fast path (identical f32 arithmetic to sky_color)
-            sky = sky_color_quads(d, scene.sky_quads,
-                                  scene.sky.shape[0], scene.sky.shape[1])
-            miss_now = alive & ~p["hit"]
-            color = jnp.where(miss_now[:, None],
-                              color + sky * contrib * draw_env, color)
-
-            live = alive & p["hit"]
-            m_rough = _gather(mats.roughness, p["mat"])
-            m_metal = _gather(mats.metallic, p["mat"])
-            m_refr = _gather(mats.refraction_ratio, p["mat"])
-            m_albedo = _gather(mats.albedo, p["mat"])
-            m_emc = _gather(mats.emission_color, p["mat"])
-            m_emp = _gather(mats.emission_power, p["mat"])
-            m_tex = _gather(mats.texture_id, p["mat"])
-
-            no, nd, nsd = scatter(o, d, sd, p["hit_pos"], p["normal"],
-                                  m_rough, m_metal, m_refr)
-
-            if cfg.max_bounces == 1:
-                shade_val = flat_shade(m_albedo, p["normal"])   # shader:566-571
-                color = jnp.where(live[:, None], shade_val, color)
-            else:
-                has_tex = m_tex >= 0
-                alb_tex = sample_texture_quads(
-                    scene.tex_quads, scene.tex_size,
-                    scene.textures.shape[1], scene.textures.shape[2],
-                    m_tex, p["u"], p["v"])
-                emis = jnp.where(has_tex[:, None],
-                                 alb_tex * m_emp[:, None],
-                                 m_emc * m_emp[:, None])        # shader:575-585
-                albedo = jnp.where(has_tex[:, None], alb_tex, m_albedo)
-                color = jnp.where(live[:, None], color + emis * contrib, color)
-                contrib = jnp.where(live[:, None], contrib * albedo, contrib)
-
-            o = jnp.where(live[:, None], no, o)
-            d = jnp.where(live[:, None], nd, d)
-            sd = jnp.where(live, nsd, sd)
-            alive = live
-            return (o, d, sd, color, contrib, alive), None
+            return shade_bounce(scene, cfg, draw_env,
+                                o, d, sd, color, contrib, alive, p), None
 
         # carries derived from varying inputs so the scan typechecks when
         # this whole function runs inside shard_map (axis-varying types)
@@ -270,6 +283,11 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
         return render_megakernel(
             scene, cam, frame_index, cfg,
             interpret=(backend == "megakernel_interpret"))
+    if backend.startswith("wavefront2") and cfg.max_bounces > 1:
+        from .wavefront2 import render_wavefront2
+        return render_wavefront2(
+            scene, cam, frame_index, cfg,
+            interpret=(backend == "wavefront2_interpret"))
     if backend.startswith("wavefront") and cfg.max_bounces > 1:
         from .pallas.wavefront import render_wavefront
         return render_wavefront(

@@ -42,6 +42,11 @@ def main() -> None:
     cam = Camera().spec(cfg.width, cfg.height)
 
     for backend in backends:
+        # render_dispatch is itself @jax.jit (static cfg/backend, traced
+        # scene/cam/frame_index), so each repeat hits the compiled
+        # executable; re-wrapping in another jit whose lambda closes over
+        # scene would bake the scene arrays into the HLO as constants
+        # (25MB+ of texture tables -> remote-compile 413s).
         def dispatch(fi):
             return render_dispatch(scene, cam, fi, cfg, backend=backend)
 
