@@ -84,12 +84,17 @@ def cmd_render(args) -> int:
         # measure of tile-uniform cull effectiveness.
         import jax.numpy as jnp
 
+        from rtm_tpu.ops.pallas.megakernel import pixel_to_slot, use_block8
         from rtm_tpu.ops.wavefront2 import render_rays_wavefront2
         _, passes = render_rays_wavefront2(
             scene, cam.spec(cfg.width, cfg.height), jnp.uint32(1), cfg,
             pixel_offset=jnp.int32(0), n_rays=cfg.num_pixels,
             debug_passes=True)
-        hm = np.asarray(passes, np.float32).reshape(cfg.height, cfg.width)
+        passes = np.asarray(passes, np.float32)
+        if use_block8(cfg.width, cfg.height):
+            p = np.arange(cfg.num_pixels, dtype=np.int32)
+            passes = passes[np.asarray(pixel_to_slot(p, cfg.width))]
+        hm = passes.reshape(cfg.height, cfg.width)
         mx = max(hm.max(), 1.0)
         t = hm / mx
         # blue (cheap) -> red (expensive) ramp

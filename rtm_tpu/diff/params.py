@@ -65,9 +65,12 @@ def apply_params(scene: TracerScene, p: SceneParams,
     """Rebuild a consistent TracerScene from parameters (traced, jnp).
 
     rebuild_tri_geometry: when True (vertex optimization), triangle normals
-    and the local-space UV arrays are recomputed from the world vertices
-    with identity-instance semantics; when False, only materials/spheres
-    update and triangle data keeps its build-time parity values.
+    and the local-space UV-quirk arrays are recomputed from the world
+    vertices through each triangle's stored world->local instance
+    transform (scene.tri_inv_model), so optimizing vertices of an
+    instanced scene (e.g. scene 3's rotated/scaled dragon) keeps exact
+    UV parity; when False, only materials/spheres update and triangle
+    data keeps its build-time parity values.
     """
     mats = replace(scene.materials,
                    albedo=p.albedo, emission_color=p.emission_color,
@@ -81,9 +84,21 @@ def apply_params(scene: TracerScene, p: SceneParams,
         c = p.tri_verts[:, 2]
         ab = b - a
         ac = c - a
-        n = jnp.cross(ab, ac)
+        # shader-normal parity: cross on LOCAL vertices mapped through the
+        # model matrix (NOT inverse-transpose, shader:252-255).  local
+        # edges = R_w2l @ world edges, and model = R_w2l^-1, so the
+        # shader normal is R_w2l^-1 @ cross(R_w2l ab, R_w2l ac).
+        rot = scene.tri_inv_model[:, :, :3]              # (T,3,3)
+        off = scene.tri_inv_model[:, :, 3]               # (T,3)
+        la = jnp.einsum("tij,tj->ti", rot, a) + off
+        lab = jnp.einsum("tij,tj->ti", rot, ab)
+        lac = jnp.einsum("tij,tj->ti", rot, ac)
+        n_local = jnp.cross(lab, lac)
+        # model rotation = inv(rot): solve instead of transpose so
+        # non-orthogonal (scaled) instances stay exact
+        n = jnp.linalg.solve(rot, n_local[..., None])[..., 0]
         norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
         n = n / jnp.maximum(norm, 1e-30)
         out = replace(out, tri_wa=a, tri_wb=b, tri_wc=c,
-                      tri_la=a, tri_lab=ab, tri_lac=ac, tri_normal=n)
+                      tri_la=la, tri_lab=lab, tri_lac=lac, tri_normal=n)
     return out

@@ -100,6 +100,11 @@ class TracerScene:
     tri_normal: jax.Array   # (T,3) normalized shader-normal
     tri_uv: jax.Array       # (T,3,2)
     tri_mat: jax.Array      # (T,)  i32
+    # (T,3,4) world->local affine rows of each triangle's instance
+    # transform: local = rows[:, :3] @ world + rows[:, 3].  Lets vertex
+    # optimization (diff/params.apply_params) recompute the local-space
+    # UV-quirk arrays for ANY instance transform, not just identity.
+    tri_inv_model: jax.Array
 
     sky: jax.Array          # (Hs,Ws,3) f32 equirect map (ClampToEdge/Linear)
     textures: jax.Array     # (K,TH,TW,3) f32 padded stack (Repeat/Linear)
@@ -214,6 +219,7 @@ def build_tracer_scene(scene: Scene, order: str = "bvh") -> TracerScene:
         sph_mat = np.zeros((0,), np.int32)
 
     wa, wb, wc, la, lab, lac, nrm, uv, mat = [], [], [], [], [], [], [], [], []
+    invm = []
     for inst in scene.objects:
         mesh = scene.meshes[inst.mesh_id]
         m = inst.model_matrix()
@@ -223,6 +229,8 @@ def build_tracer_scene(scene: Scene, order: str = "bvh") -> TracerScene:
                 "the reference's backface culling; not supported")
         v = mesh.verts.astype(np.float64)            # (T,3,3) local
         world = v @ m[:3, :3].T + m[:3, 3]           # (T,3,3)
+        w2l = np.linalg.inv(m.astype(np.float64))[:3, :4]   # world->local
+        invm.append(np.broadcast_to(w2l, (mesh.num_triangles, 3, 4)))
         e_ab = v[:, 1] - v[:, 0]
         e_ac = v[:, 2] - v[:, 0]
         n_local = np.cross(e_ab, e_ac)
@@ -245,6 +253,7 @@ def build_tracer_scene(scene: Scene, order: str = "bvh") -> TracerScene:
     tri_normal = cat(nrm, (0, 3))
     tri_uv = np.concatenate(uv).astype(np.float32) if uv else np.zeros((0, 3, 2), np.float32)
     tri_mat = np.concatenate(mat) if mat else np.zeros((0,), np.int32)
+    tri_inv_model = cat(invm, (0, 3, 4))
 
     cluster_slices: tuple = ()
     if order in ("bvh", "morton") and tri_wa.shape[0] > 1:
@@ -257,6 +266,7 @@ def build_tracer_scene(scene: Scene, order: str = "bvh") -> TracerScene:
         tri_wa, tri_wb, tri_wc = tri_wa[perm], tri_wb[perm], tri_wc[perm]
         tri_la, tri_lab, tri_lac = tri_la[perm], tri_lab[perm], tri_lac[perm]
         tri_normal, tri_uv, tri_mat = tri_normal[perm], tri_uv[perm], tri_mat[perm]
+        tri_inv_model = tri_inv_model[perm]
     elif order not in ("bvh", "morton", "buffer"):
         raise ValueError(f"unknown triangle order {order!r}")
 
@@ -278,6 +288,7 @@ def build_tracer_scene(scene: Scene, order: str = "bvh") -> TracerScene:
         tri_lac=jnp.asarray(tri_lac),
         tri_normal=jnp.asarray(tri_normal),
         tri_uv=jnp.asarray(tri_uv), tri_mat=jnp.asarray(tri_mat),
+        tri_inv_model=jnp.asarray(tri_inv_model),
         sky=jnp.asarray(sky, jnp.float32),
         textures=textures, tex_size=tex_size,
         sky_quads=sky_quads, tex_quads=tex_quads,

@@ -107,7 +107,10 @@ class MegaPack(NamedTuple):
     """Device-layout scene tables for the megakernel (all jnp arrays)."""
 
     tri_feats: jax.Array | None    # (T', 16) f32, cluster-padded
-    tri_attrs: jax.Array | None    # (40, T') f32
+    tri_attrs: jax.Array | None    # (3, 40, T') bf16 Dekker 3-split of the
+    #   f32 attribute table: attrs == split[0]+split[1]+split[2] to f32
+    #   rounding, so the one-hot extraction is 3 native bf16 MXU passes
+    #   instead of a 6-pass HIGHEST f32 matmul (the round-1 hot spot)
     boxes: jax.Array | None        # (C, 8) f32 cluster AABBs [lo3, hi3, 0, 0]
     spheres: jax.Array | None      # (S', 16) f32
     n_clusters: int
@@ -211,6 +214,14 @@ def build_mega_pack(scene: TracerScene) -> MegaPack:
             off += w_pad
         feats = jnp.concatenate(f_parts, axis=0)                 # (T',16)
         attrs = jnp.concatenate(a_parts, axis=1)                 # (40,T')
+        # Dekker 3-split: each bf16 chunk captures the next 8 mantissa
+        # bits; the residual subtractions are exact, so the chunks sum
+        # back to the f32 table (one-hot products are then exact per pass)
+        a1 = attrs.astype(jnp.bfloat16)
+        r1 = attrs - a1.astype(jnp.float32)
+        a2 = r1.astype(jnp.bfloat16)
+        a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+        attrs = jnp.stack([a1, a2, a3], axis=0)                  # (3,40,T')
         boxes = jnp.stack(box_rows, axis=0)                      # (C,8)
         offs, widths = tuple(offs), tuple(widths)
         p2r = np.full(sum(widths), -1, np.int32)
@@ -255,6 +266,36 @@ def build_mega_pack(scene: TracerScene) -> MegaPack:
 
 
 # ---------------------------------------------------------------------------
+# Ray-slot ordering: 8x8 pixel blocks
+# ---------------------------------------------------------------------------
+# A row-major 512-ray tile is a full image row at the headline 512-wide
+# config — rays fanning across the whole horizontal FOV, whose cluster-test
+# UNION defeats the tile-uniform cull even for coherent camera rays.
+# Dispatch slots therefore walk the frame in 8x8 pixel blocks (exactly the
+# reference's compute workgroup, RayTracing.shader:13 / VulkanPipeline.cpp:
+# 162-168): a 512-ray tile becomes an 8-block 64x8-pixel strip.
+
+def use_block8(width: int, height: int) -> bool:
+    return width % 8 == 0 and height % 8 == 0
+
+
+def slot_to_xy(lin, width: int):
+    """Dispatch slot -> pixel (x, y) under 8x8-block order (any int array)."""
+    t = lin // 64
+    j = lin % 64
+    bx = t % (width // 8)
+    by = t // (width // 8)
+    return bx * 8 + j % 8, by * 8 + j // 8
+
+
+def pixel_to_slot(p, width: int):
+    """Row-major pixel id -> dispatch slot (inverse of slot_to_xy)."""
+    x = p % width
+    y = p // width
+    return ((y // 8) * (width // 8) + x // 8) * 64 + (y % 8) * 8 + x % 8
+
+
+# ---------------------------------------------------------------------------
 # In-kernel helpers (componentwise 3-vectors as (1,R) row tuples)
 # ---------------------------------------------------------------------------
 
@@ -295,21 +336,30 @@ def _select(m, a, b):
 
 def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
                ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, cull,
-               count_passes=False):
+               t_ref, i_ref, npass_ref=None):
     """Nearest-triangle sweep over variable-width SAH clusters.
 
-    All lanes visit a cluster together; a tile-uniform AABB cond skips
+    All lanes visit a cluster together; a tile-uniform AABB test skips
     clusters no live ray can improve on (the TPU-shaped stand-in for the
-    reference's per-thread BVH traversal, shader:324-484).  Returns
-    (t_tri (1,R) approx-ordering distance, i_tri (1,R) padded-table index)
-    plus, when count_passes, the number of cluster passes this tile ran
-    (a (1,R) i32 broadcast — the cull-effectiveness / debug-heatmap probe).
+    reference's per-thread BVH traversal, shader:324-484).
+
+    Writes the running best into VMEM scratch refs — t_ref (1,R) f32
+    approx-ordering distance, i_ref (1,R) i32 padded-table index — and the
+    skip is a `pl.when` REGION around the stores.  A value-carried
+    `lax.cond` looks equivalent but Mosaic lowers vector-carried conds by
+    predication (both branches execute), which silently disabled the cull:
+    measured cull-on == cull-off == always-pass at the headline config.
+    With refs + pl.when the branch is real scalar control flow.
+
+    npass_ref: optional (1,1) i32 SMEM scratch incremented per cluster
+    pass — the cull-effectiveness probe (debug heatmaps / tests).
     Shared by the megakernel and the wavefront bounce kernels.
     """
     r = ray_tile
-    t_tri = jnp.full((1, r), BIG)
-    i_tri = jnp.full((1, r), -1, jnp.int32)
-    npass = jnp.zeros((1, r), jnp.int32)
+    t_ref[:, :] = jnp.full((1, r), BIG)
+    i_ref[:, :] = jnp.full((1, r), -1, jnp.int32)
+    if npass_ref is not None:
+        npass_ref[0, 0] = 0
     if cull:
         # NaN-safe slab reciprocals: clamp |d| away from 0
         # (sign-preserving).  d==0 would give inf, and (lo-o)*inf = NaN
@@ -328,7 +378,7 @@ def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
         inv_dy = 1.0 / dys
         inv_dz = 1.0 / dzs
 
-    def cluster_pass(off, wdt, t_tri, i_tri):
+    def cluster_pass(off, wdt):
         lane = slice(off, off + wdt)
         f = lambda j: feats[lane, j:j + 1]                    # (W,1)
         det = -(dx * f(_F_NX) + dy * f(_F_NY) + dz * f(_F_NZ))
@@ -352,9 +402,12 @@ def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
         cmin = jnp.min(tt, axis=0, keepdims=True)
         cand = jnp.min(_select(tt == cmin, crow, jnp.int32(2 ** 30)),
                        axis=0, keepdims=True)
-        better = cmin < t_tri
-        return (_select(better, cmin, t_tri),
-                _select(better, cand + off, i_tri))
+        t_prev = t_ref[:, :]
+        better = cmin < t_prev
+        t_ref[:, :] = _select(better, cmin, t_prev)
+        i_ref[:, :] = _select(better, cand + off, i_ref[:, :])
+        if npass_ref is not None:
+            npass_ref[0, 0] += 1
 
     for ci, (off, wdt) in enumerate(zip(offsets, widths)):
         if cull:
@@ -373,24 +426,13 @@ def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
                 jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
                 jnp.maximum(t1z, t2z))
             near = _select((tf >= 0.0) & (tn <= tf), tn, BIG)
-            improves = jnp.any((near < t_tri) & alive)
-            if count_passes:
-                t_tri, i_tri, npass = jax.lax.cond(
-                    improves,
-                    lambda t, i, n, _o=off, _w=wdt: (
-                        *cluster_pass(_o, _w, t, i), n + 1),
-                    lambda t, i, n: (t, i, n),
-                    t_tri, i_tri, npass)
-            else:
-                t_tri, i_tri = jax.lax.cond(
-                    improves, functools.partial(cluster_pass, off, wdt),
-                    lambda a, b: (a, b), t_tri, i_tri)
+            improves = jnp.any((near < t_ref[:, :]) & alive)
+
+            @pl.when(improves)
+            def _(off=off, wdt=wdt):
+                cluster_pass(off, wdt)
         else:
-            t_tri, i_tri = cluster_pass(off, wdt, t_tri, i_tri)
-            npass = npass + 1
-    if count_passes:
-        return t_tri, i_tri, npass
-    return t_tri, i_tri
+            cluster_pass(off, wdt)
 
 
 def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
@@ -416,6 +458,8 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
         color_ref = next(it)                  # (8, R)
         miss_ref = next(it)                   # (8*max_frames, R)
         rec_ref = next(it) if textured else None  # (8*F*B, R)
+        t_scr = next(it) if have_tris else None   # (1, R) f32 sweep scratch
+        i_scr = next(it) if have_tris else None   # (1, R) i32
 
         if textured:
             # pre-fill the record block: bounces skipped by the all-dead
@@ -442,12 +486,16 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
         wf, hf = np.float32(width), np.float32(height)
         frame_index = fidx[0, 0]
 
-        # pixel ids for this tile
+        # pixel ids for this tile (8x8-block slot order when aligned)
         base = pl.program_id(0) * r + pix0[0, 0]
         lin = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + base
-        xpix = lin % width
-        ypix = lin // width
-        lin_u = lin.astype(U32)
+        if use_block8(width, height):
+            xpix, ypix = slot_to_xy(lin, width)
+        else:
+            xpix = lin % width
+            ypix = lin // width
+        # seeds use the ROW-MAJOR pixel id (shader:697 parity)
+        lin_u = (ypix * width + xpix).astype(U32)
 
         # camera ray basis (shader:684-691): per-pixel focus point
         px = xpix.astype(jnp.float32) / wf
@@ -528,10 +576,12 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
                     t_tri = jnp.full((1, r), BIG)
                     i_tri = jnp.full((1, r), -1, jnp.int32)
                     if have_tris:
-                        t_tri, i_tri = _tri_sweep(
+                        _tri_sweep(
                             feats, boxes, cluster_offsets, cluster_widths,
                             r, ox, oy, oz, dx, dy, dz, wx, wy, wz, alive,
-                            cull)
+                            cull, t_scr, i_scr)
+                        t_tri = t_scr[:, :]
+                        i_tri = i_scr[:, :]
 
                     # ---- nearest sphere (shader:486-524) -----------------
                     t_sph = jnp.full((1, r), BIG)
@@ -565,10 +615,15 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
                     # ---- attribute fetch ---------------------------------
                     if have_tris:
                         onehot = ((tri_rows == i_tri) & use_tri & alive
-                                  ).astype(jnp.float32)          # (T',R)
-                        ext = jnp.dot(attrs[:, :], onehot,
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
+                                  ).astype(jnp.bfloat16)         # (T',R)
+                        # 3 native bf16 passes reconstruct the exact f32
+                        # attribute (Dekker split in build_mega_pack)
+                        ext = (jnp.dot(attrs[0], onehot,
+                                       preferred_element_type=jnp.float32)
+                               + jnp.dot(attrs[1], onehot,
+                                         preferred_element_type=jnp.float32)
+                               + jnp.dot(attrs[2], onehot,
+                                         preferred_element_type=jnp.float32))
                         e = lambda j: ext[j:j + 1, :]            # (1,R)
                         # exact hit distance of the winner from its plane
                         # equation (the sweep's t was approx-reciprocal,
@@ -842,6 +897,9 @@ def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
         scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
         n_rays=cfg.width * cfg.height, ray_tile=ray_tile, cull=cull,
         interpret=interpret, early_exit=early_exit)
+    if use_block8(cfg.width, cfg.height):
+        p = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+        color = jnp.take(color, pixel_to_slot(p, cfg.width), axis=0)
     return color.reshape(cfg.height, cfg.width, 3)
 
 
@@ -850,9 +908,12 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                            ray_tile: int = DEFAULT_RAY_TILE,
                            cull: bool = True, interpret: bool = False,
                            early_exit: bool = False):
-    """Trace row-major pixels [pixel_offset, pixel_offset + n_rays) of the
+    """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) of the
     cfg.width x cfg.height grid — the unit the multi-chip sharded renderer
-    dispatches per device band (parallel/sharding.py).  Returns (n_rays, 3).
+    dispatches per device band (parallel/sharding.py).  Returns (n_rays, 3)
+    in SLOT order: slots walk the frame in 8x8 pixel blocks when both
+    dimensions are 8-aligned (slot_to_xy), else row-major; full-frame
+    callers invert with pixel_to_slot.
     """
     w, h = cfg.width, cfg.height
     n = n_rays
@@ -879,7 +940,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
         tp = pack.n_padded_tris
         in_specs += [
             pl.BlockSpec((tp, 16), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_ATTRS, tp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, NUM_ATTRS, tp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((pack.n_clusters, 8), const,
                          memory_space=pltpu.SMEM),
         ]
@@ -915,12 +977,18 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     except TypeError:                                   # older jax
         cparams = None
 
+    scratch = []
+    if pack.n_clusters > 0:
+        scratch = [pltpu.VMEM((1, r), jnp.float32),
+                   pltpu.VMEM((1, r), jnp.int32)]
+
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
         **({"compiler_params": cparams} if cparams else {}),
     )(*inputs)

@@ -43,18 +43,19 @@ DEFAULT_RAY_TILE = 512
 def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, cull):
     r = ray_tile
 
-    def kernel(feats, boxes, st, out):
+    def kernel(feats, boxes, st, out, t_scr, i_scr, npass_scr):
         ox, oy, oz = st[0:1, :], st[1:2, :], st[2:3, :]
         dx, dy, dz = st[3:4, :], st[4:5, :], st[5:6, :]
         alive = st[6:7, :] > 0.5
         wx, wy, wz = _cross(ox, oy, oz, dx, dy, dz)
-        t_tri, i_tri, npass = _tri_sweep(
+        _tri_sweep(
             feats, boxes, cluster_offsets, cluster_widths, r,
             ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, cull,
-            count_passes=True)
-        out[0:1, :] = t_tri
-        out[1:2, :] = pltpu.bitcast(i_tri, jnp.float32)
-        out[2:3, :] = pltpu.bitcast(npass, jnp.float32)
+            t_scr, i_scr, npass_ref=npass_scr)
+        out[0:1, :] = t_scr[:, :]
+        out[1:2, :] = pltpu.bitcast(i_scr[:, :], jnp.float32)
+        out[2:3, :] = pltpu.bitcast(
+            jnp.full((1, r), 1, jnp.int32) * npass_scr[0, 0], jnp.float32)
         for j in range(3, 8):
             out[j:j + 1, :] = jnp.zeros((1, r), jnp.float32)
 
@@ -92,6 +93,9 @@ def sweep_call(pack: MegaPack, state8, *, ray_tile: int = DEFAULT_RAY_TILE,
             out_specs=pl.BlockSpec((8, ray_tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, ray_tile), jnp.float32),
+                            pltpu.VMEM((1, ray_tile), jnp.int32),
+                            pltpu.SMEM((1, 1), jnp.int32)],
             interpret=interpret,
             **({"compiler_params": cparams} if cparams else {}),
         )(feats, boxes, st)

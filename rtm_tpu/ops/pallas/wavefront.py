@@ -65,7 +65,8 @@ from .megakernel import (BIG, CLUSTER, NUM_ATTRS, PI, TWO_PI, U32,
                          _S_EMB, _S_EMG, _S_EMP, _S_EMR, _S_METAL, _S_R,
                          _S_REFR, _S_ROUGH, _S_TEX, _cross, _dot, _normalize,
                          _pack_camera, _rand, _select, _tri_sweep,
-                         build_mega_pack)
+                         build_mega_pack, pixel_to_slot, slot_to_xy,
+                         use_block8)
 from ..trace_ref import camera_ray_basis
 
 DEFAULT_RAY_TILE = 512
@@ -103,6 +104,8 @@ def _make_bounce_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
         st = next(it)                         # (16, r) state in
         out = next(it)                        # (16, r) state out
         rec = next(it)                        # (8, r)  shading record
+        t_scr = next(it) if have_tris else None   # (1, r) f32 sweep scratch
+        i_scr = next(it) if have_tris else None   # (1, r) i32
 
         ox, oy, oz = st[0:1, :], st[1:2, :], st[2:3, :]
         dx, dy, dz = st[3:4, :], st[4:5, :], st[5:6, :]
@@ -123,9 +126,12 @@ def _make_bounce_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
         t_tri = jnp.full((1, r), BIG)
         i_tri = jnp.full((1, r), -1, jnp.int32)
         if have_tris:
-            t_tri, i_tri = _tri_sweep(
+            _tri_sweep(
                 feats, boxes, cluster_offsets, cluster_widths, r,
-                ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, cull)
+                ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, cull,
+                t_scr, i_scr)
+            t_tri = t_scr[:, :]
+            i_tri = i_scr[:, :]
 
         # ---- nearest sphere (shader:486-524) -----------------------------
         t_sph = jnp.full((1, r), BIG)
@@ -154,10 +160,15 @@ def _make_bounce_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
         # ---- attribute fetch (one-hot MXU extraction) --------------------
         if have_tris:
             onehot = ((tri_rows == i_tri) & use_tri & alive
-                      ).astype(jnp.float32)                    # (T',R)
-            ext = jnp.dot(attrs[:, :], onehot,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                      ).astype(jnp.bfloat16)                   # (T',R)
+            # 3 native bf16 passes reconstruct the exact f32 attribute
+            # (Dekker split in build_mega_pack)
+            ext = (jnp.dot(attrs[0], onehot,
+                           preferred_element_type=jnp.float32)
+                   + jnp.dot(attrs[1], onehot,
+                             preferred_element_type=jnp.float32)
+                   + jnp.dot(attrs[2], onehot,
+                             preferred_element_type=jnp.float32))
             e = lambda j: ext[j:j + 1, :]                      # (1,R)
             gden = -(dx * e(_A_GNX) + dy * e(_A_GNY) + dz * e(_A_GNZ))
             t_ex = (ox * e(_A_GNX) + oy * e(_A_GNY) + oz * e(_A_GNZ)
@@ -339,7 +350,8 @@ def _bounce_call(pack, state, bounce, *, ray_tile, cull, interpret):
         tp = pack.n_padded_tris
         in_specs += [
             pl.BlockSpec((tp, 16), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_ATTRS, tp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, NUM_ATTRS, tp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((pack.n_clusters, 8), const,
                          memory_space=pltpu.SMEM),
         ]
@@ -362,6 +374,11 @@ def _bounce_call(pack, state, bounce, *, ray_tile, cull, interpret):
     except TypeError:                                         # older jax
         cparams = None
 
+    scratch = []
+    if pack.n_clusters > 0:
+        scratch = [pltpu.VMEM((1, ray_tile), jnp.float32),
+                   pltpu.VMEM((1, ray_tile), jnp.int32)]
+
     new_state, rec = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -372,6 +389,7 @@ def _bounce_call(pack, state, bounce, *, ray_tile, cull, interpret):
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((STATE_ROWS, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((8, n_pad), jnp.float32)),
+        scratch_shapes=scratch,
         interpret=interpret,
         **({"compiler_params": cparams} if cparams else {}),
     )(*inputs)
@@ -445,8 +463,11 @@ def render_rays_wavefront(scene: TracerScene, cam: CameraSpec, frame_index,
 
     lin = jnp.arange(n_pad, dtype=jnp.int32) + jnp.asarray(pixel_offset,
                                                            jnp.int32)
-    x = lin % w
-    y = lin // w
+    if use_block8(w, cfg.height):
+        x, y = slot_to_xy(lin, w)      # 8x8-block slot order (megakernel.py)
+    else:
+        x = lin % w
+        y = lin // w
     in_range = jax.lax.iota(jnp.int32, n_pad) < n
     focus_point, right, up, position = camera_ray_basis(cam, cfg, x, y)
     res = jnp.array([w, h], jnp.float32)
@@ -548,4 +569,7 @@ def render_wavefront(scene: TracerScene, cam: CameraSpec, frame_index,
         scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
         n_rays=cfg.width * cfg.height, ray_tile=ray_tile, cull=cull,
         sort_from=sort_from, interpret=interpret)
+    if use_block8(cfg.width, cfg.height):
+        p = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+        color = jnp.take(color, pixel_to_slot(p, cfg.width), axis=0)
     return color.reshape(cfg.height, cfg.width, 3)

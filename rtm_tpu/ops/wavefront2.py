@@ -38,7 +38,8 @@ from ..models.camera import CameraSpec
 from ..models.scene import TracerScene
 from . import rng
 from .intersect import FLT_MAX
-from .pallas.megakernel import build_mega_pack
+from .pallas.megakernel import (build_mega_pack, pixel_to_slot, slot_to_xy,
+                                use_block8)
 from .pallas.sweep_kernel import DEFAULT_RAY_TILE, sweep_call
 from .trace_ref import (_triangle_t_from_idx, bounce_payload,
                         camera_ray_basis, shade_bounce)
@@ -113,8 +114,14 @@ def render_rays_wavefront2(scene: TracerScene, cam: CameraSpec, frame_index,
 
     lin = jnp.arange(n_pad, dtype=jnp.int32) + jnp.asarray(pixel_offset,
                                                            jnp.int32)
-    x = lin % w
-    y = lin // w
+    if use_block8(w, cfg.height):
+        # slots walk 8x8 pixel blocks: a 512-ray kernel tile is a 64x8
+        # strip instead of a full image row, so the tile-uniform cluster
+        # cull sees coherent camera rays (see megakernel.py slot_to_xy)
+        x, y = slot_to_xy(lin, w)
+    else:
+        x = lin % w
+        y = lin // w
     in_range = jax.lax.iota(jnp.int32, n_pad) < n
     focus_point, right, up, position = camera_ray_basis(cam, cfg, x, y)
     res = jnp.array([cfg.width, cfg.height], jnp.float32)
@@ -199,4 +206,7 @@ def render_wavefront2(scene: TracerScene, cam: CameraSpec, frame_index,
         scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
         n_rays=cfg.width * cfg.height, ray_tile=ray_tile, cull=cull,
         sort_from=sort_from, interpret=interpret)
+    if use_block8(cfg.width, cfg.height):
+        p = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+        color = jnp.take(color, pixel_to_slot(p, cfg.width), axis=0)
     return color.reshape(cfg.height, cfg.width, 3)

@@ -26,7 +26,10 @@ def initialize_distributed(coordinator_address: str | None = None,
     this is a no-op and returns False.  Returns True once the distributed
     client is up.
     """
-    if jax.process_count() > 1:
+    # NB: probe initialization state WITHOUT touching the backend —
+    # jax.process_count() would initialize XLA and make a subsequent
+    # jax.distributed.initialize() impossible.
+    if jax.distributed.is_initialized():
         return True  # already initialized by the runtime
     if coordinator_address is None and num_processes is None:
         return False

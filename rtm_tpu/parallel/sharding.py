@@ -76,13 +76,17 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
 
     if (backend.startswith(("megakernel", "wavefront"))
             and cfg.max_bounces > 1):
-        # fused-kernel paths: each device runs the kernel on its contiguous
-        # row-major pixel band (same kernel, per-band offset); the wavefront
-        # variant sorts its own band locally — zero cross-device collectives
-        if backend.startswith("wavefront"):
+        # fused-kernel paths: each device runs the kernel on a contiguous
+        # dispatch-slot band (same kernel, per-band offset; slots walk 8x8
+        # pixel blocks — megakernel.slot_to_xy); the wavefront variants
+        # sort their own band locally — zero cross-device collectives
+        if backend.startswith("wavefront2"):
+            from ..ops.wavefront2 import render_rays_wavefront2 as rr
+        elif backend.startswith("wavefront"):
             from ..ops.pallas.wavefront import render_rays_wavefront as rr
         else:
             from ..ops.pallas.megakernel import render_rays_megakernel as rr
+        from ..ops.pallas.megakernel import pixel_to_slot, use_block8
         band = -(-n // n_dev)
 
         # check_vma=False: pallas_call's out_shape carries no varying-mesh
@@ -96,7 +100,12 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
                 interpret=backend.endswith("_interpret"))
 
         out = shard_mk(scene, cam, frame_index)
-        return out[:n].reshape(cfg.height, cfg.width, 3)
+        if use_block8(cfg.width, cfg.height):
+            p = jnp.arange(n, dtype=jnp.int32)
+            out = jnp.take(out, pixel_to_slot(p, cfg.width), axis=0)
+        else:
+            out = out[:n]
+        return out.reshape(cfg.height, cfg.width, 3)
 
     x, y, _, n = _padded_grid(cfg, n_dev)
 

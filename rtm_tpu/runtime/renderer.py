@@ -73,11 +73,25 @@ class ProgressiveRenderer:
         self.scene = scene if isinstance(scene, TracerScene) else build_tracer_scene(scene)
         self.frame_index = 0
         self.accum = jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
+        self.last_ms = 0.0        # "GPU time" analog (RayTracing.cpp:77)
+        self.fps = 0.0            # rolling average (ImGui Framerate parity)
 
     def reset(self) -> None:
         """Reset accumulation (camera move / resize / scene edit parity)."""
         self.frame_index = 0
         self.accum = jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
+
+    def set_config(self, **kw) -> None:
+        """Apply settings-panel edits (RayTracing.cpp:83-101 semantics):
+        bounces / spp / accumulate / draw-environment / debug changes do NOT
+        reset accumulation (the reference keeps blending the stale frames);
+        only a resize reallocates+resets the accumulation image
+        (RayTracing.cpp:469-485)."""
+        import dataclasses
+        old = self.cfg
+        self.cfg = dataclasses.replace(old, **kw)
+        if (self.cfg.width, self.cfg.height) != (old.width, old.height):
+            self.reset()
 
     def set_scene(self, scene: Scene | TracerScene) -> None:
         self.scene = scene if isinstance(scene, TracerScene) else build_tracer_scene(scene)
@@ -89,11 +103,17 @@ class ProgressiveRenderer:
 
     def step(self) -> jax.Array:
         """Render one frame; returns the display image (H,W,3) f32."""
+        import time
+        t0 = time.perf_counter()
         self.frame_index = self.frame_index + 1 if self.cfg.accumulate else 1
         cam_spec = self.camera.spec(self.cfg.width, self.cfg.height)
         self.accum, out = accumulate_step(
             self.scene, cam_spec, self.accum,
             np.uint32(self.frame_index), self.cfg)
+        jax.block_until_ready(out)
+        self.last_ms = (time.perf_counter() - t0) * 1e3
+        inst = 1e3 / max(self.last_ms, 1e-3)
+        self.fps = inst if self.fps == 0.0 else 0.9 * self.fps + 0.1 * inst
         return out
 
     def render(self, frames: int = 1) -> jax.Array:

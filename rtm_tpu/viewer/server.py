@@ -63,10 +63,13 @@ setInterval(() => { img.src = '/frame.png?' + Date.now(); }, 200);
 setInterval(async () => {
   if (keys.size) send({keys: [...keys]});
   const s = await (await fetch('/state')).json();
-  hud.textContent = `frame ${s.frame_index}  pos ${s.position.map(
+  hud.textContent = `${s.frame_ms.toFixed(1)} ms/frame (${s.fps.toFixed(1)}` +
+      ` FPS)  frames ${s.frame_index}  pos ${s.position.map(
       v=>v.toFixed(2))}`;
 }, 100);
 function send(o){ fetch('/input', {method:'POST', body:JSON.stringify(o)}); }
+async function setting(o){ await fetch('/settings',
+  {method:'POST', body:JSON.stringify(o)}); }
 async function edit(o){
   await fetch('/edit', {method:'POST', body:JSON.stringify(o)});
   loadScene();
@@ -91,7 +94,30 @@ async function loadScene(){
   const r = await fetch('/scene');
   if (r.status !== 200){ panel.innerHTML = '<i>no editor</i>'; return; }
   const s = SCENE = await r.json();
-  let h = '<h3>Materials</h3>';
+  const st = await (await fetch('/state')).json();
+  // Settings panel parity (ref RayTracing.cpp:73-150)
+  let h = '<h3>Settings</h3><div class=row>' +
+    `bounces <input type=range min=1 max=15 value="${st.max_bounces}"` +
+    ` oninput="setting({max_bounces:+this.value});this.nextSibling.data=` +
+    `this.value">${st.max_bounces} </div><div class=row>` +
+    `spp <input type=range min=1 max=5 value="${st.max_frames}"` +
+    ` oninput="setting({max_frames:+this.value});this.nextSibling.data=` +
+    `this.value">${st.max_frames} </div><div class=row>` +
+    `<label><input type=checkbox ${st.accumulate ? 'checked' : ''}` +
+    ` onchange="setting({accumulate:this.checked})"> Accumulate</label> ` +
+    `<label><input type=checkbox ${st.draw_environment ? 'checked' : ''}` +
+    ` onchange="setting({draw_environment:this.checked})"> Draw Env` +
+    `</label> <button onclick="setting({reset:true})">Reset</button>` +
+    `</div><div class=row>debug <input value="${st.debug}" onchange=` +
+    `"setting({debug:+this.value})"> scene <select onchange=` +
+    `"setting({scene:+this.value})">` +
+    [1,2,3,4,5].map(i => `<option ${i==st.scene?'selected':''}>${i}` +
+    `</option>`).join('') + '</select></div>';
+  h += '<h3>Camera</h3><div class=row>' +
+    ['fov','blur','defocus','focus_distance'].map(f =>
+      `${f.slice(0,5)} <input value="${st[f]}" onchange=` +
+      `"setting({${f}:+this.value})">`).join(' ') + '</div>';
+  h += '<h3>Materials</h3>';
   s.materials.forEach((m, i) => {
     h += `<div class=row>#${i} alb ${vecIn('materials', i, 'albedo',
           m.albedo)}<br>em ${vecIn('materials', i, 'emission_color',
@@ -240,6 +266,18 @@ class ViewerServer:
                         "position": list(map(float, r.camera.position)),
                         "direction": list(map(float, r.camera.direction)),
                         "width": r.cfg.width, "height": r.cfg.height,
+                        # settings/stats panel parity (RayTracing.cpp:75-150)
+                        "frame_ms": r.last_ms, "fps": r.fps,
+                        "max_bounces": r.cfg.max_bounces,
+                        "max_frames": r.cfg.max_frames,
+                        "accumulate": r.cfg.accumulate,
+                        "draw_environment": r.cfg.draw_environment,
+                        "debug": r.cfg.debug,
+                        "scene": viewer.scene_id,
+                        "fov": r.camera.fov,
+                        "blur": r.camera.blur_strength,
+                        "defocus": r.camera.defocus_strength,
+                        "focus_distance": r.camera.focus_distance,
                     }).encode()
                     self._send(200, body, "application/json")
                 elif self.path.startswith("/scene"):

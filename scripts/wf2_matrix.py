@@ -57,10 +57,13 @@ def main():
     n = res * res
 
     # full-frame variants
-    for sf, cull, label in ((1, True, "wf2 sort_from=1 cull"),
-                            (99, True, "wf2 no-sort cull"),
-                            (99, False, "wf2 no-sort no-cull"),
-                            (2, True, "wf2 sort_from=2 cull")):
+    variants = ((1, True, "wf2 sort_from=1 cull"),
+                (99, True, "wf2 no-sort cull"),
+                (99, False, "wf2 no-sort no-cull"),
+                (2, True, "wf2 sort_from=2 cull"))
+    if os.environ.get("RTM_WF2_STAGES_ONLY"):
+        variants = ()
+    for sf, cull, label in variants:
         fn = jax.jit(functools.partial(
             lambda sc, cm, fi, _sf, _cu: render_wavefront2(
                 sc, cm, fi, cfg, sort_from=_sf, cull=_cu),
@@ -75,14 +78,18 @@ def main():
     st = jnp.concatenate([o.T, d.T, jnp.ones((1, n), jnp.float32),
                           jnp.zeros((1, n), jnp.float32)], axis=0)
 
-    def sweeps(pk, s):
+    def sweeps(feats, boxes, s):
+        # rebuild the pack around traced arrays; the static cluster layout
+        # stays a closure constant (pack itself is a pytree whose tuple
+        # fields would otherwise become traced leaves)
+        pk = pack._replace(tri_feats=feats, boxes=boxes)
         outs = []
         for b in range(bounces):
             outs.append(sweep_call(pk, s + jnp.float32(b) * 0.0)[1])
         return jnp.stack(outs)
 
     time_fn(f"sweep kernel x{bounces} (random rays)",
-            jax.jit(sweeps), pack, st)
+            jax.jit(sweeps), pack.tri_feats, pack.boxes, st)
 
     # isolated: sort + full-state permute x bounces
     lo, hi = _scene_bounds(scene)
@@ -121,6 +128,30 @@ def main():
         return color
 
     time_fn(f"XLA shading x{bounces}", jax.jit(shading), scene, o, d)
+
+    # isolated: payload only (gathers) and scatter-back
+    def payloads(sc, o, d):
+        i_real = (jnp.arange(n, dtype=jnp.int32) % sc.num_triangles)
+        acc = jnp.zeros((n,))
+        for b in range(bounces):
+            t_t = _triangle_t_from_idx(sc, o, d, i_real)
+            p = bounce_payload(sc, None, o, d, 0, tri_hit=(t_t, i_real))
+            acc = acc + p["u"] + p["t"] + p["normal"][:, 0]
+            o = o + 1e-7
+        return acc
+
+    time_fn(f"payload gathers x{bounces}", jax.jit(payloads), scene, o, d)
+
+    def scatter_back(c):
+        pix = jnp.arange(n, dtype=jnp.int32)[::-1]
+        out = jnp.zeros((n, 3))
+        for _ in range(bounces):
+            out = out.at[pix].add(c)
+            c = c + 1e-7
+        return out
+
+    time_fn(f"scatter .at[pix].add x{bounces}", jax.jit(scatter_back),
+            jnp.ones((n, 3)))
 
 
 if __name__ == "__main__":

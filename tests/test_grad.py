@@ -178,6 +178,56 @@ def test_apply_params_roundtrip(setup):
     np.testing.assert_array_equal(np.asarray(ts2.sph_pos), np.asarray(ts.sph_pos))
 
 
+def test_apply_params_roundtrip_instanced_scene3():
+    """Vertex-optimization parity on a scene with non-identity instance
+    transforms (scene 3's rotated+scaled dragons): rebuilding triangle
+    geometry from unchanged world vertices must reproduce the build-time
+    local-space UV-quirk arrays and shader normals through the stored
+    world->local transforms (scene.tri_inv_model)."""
+    ts = build_tracer_scene(builtin.load_scene(3))
+    p = extract_params(ts)
+    ts2 = apply_params(ts, p, rebuild_tri_geometry=True)
+    for name in ("tri_la", "tri_lab", "tri_lac"):
+        a = np.asarray(getattr(ts, name))
+        b = np.asarray(getattr(ts2, name))
+        scale = np.maximum(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b, a, atol=2e-5 * scale, err_msg=name)
+    # normals: direction agreement (f32 recompute amplifies only on
+    # near-degenerate slivers; measured worst cos 0.9985 on a 1e-9-area tri)
+    cos = (np.asarray(ts.tri_normal) * np.asarray(ts2.tri_normal)).sum(-1)
+    assert cos.min() > 0.99
+
+
+def test_grad_vertex_instanced_transform():
+    """Vertex gradients flow (finite, nonzero) through a mesh with a
+    NON-IDENTITY instance transform — the configuration the identity-only
+    rebuild of round 1 silently mis-handled.  (Scene 3 itself has a.e.
+    ZERO vertex gradient at low bounce counts: the box is closed so the
+    sky is unreachable after bounce 0, emission is constant, and the
+    checker albedo is piecewise-constant — the only geometry dependence
+    is the detached hit topology.  Under an open sky the shading normal
+    gives a smooth, nonzero path.)"""
+    s = Scene(sky=builtin._procedural_sky())
+    s.add_material(Material((0.7, 0.6, 0.5), (1, 1, 1), 0.2, 0, 0, 1.0, -1))
+    s.add_mesh(Mesh.from_triangles([
+        Triangle((-1, -0.5, -1), (1, -0.5, -1), (0, 1, -1))]))
+    s.add_object(MeshInstance(mesh_id=0, material_id=0,
+                              position=np.array([0.2, 0.8, -2.0]),
+                              rotation=np.array([0.0, 35.0, 0.0]),
+                              scale=np.array([1.5, 1.5, 1.5])))
+    ts = build_tracer_scene(s)
+    cam = Camera().spec(CFG.width, CFG.height)
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+
+    def f(params):
+        return render_loss(params, ts, cam, target, FI, CFG)
+
+    g = jax.grad(f)(extract_params(ts)).tri_verts
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+
 @pytest.mark.slow
 def test_inverse_render_recovers_albedo_and_emission():
     """BASELINE config 5 (reduced): recover perturbed albedo + light

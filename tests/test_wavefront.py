@@ -51,8 +51,10 @@ def test_scene2_textured_multiframe():
 
 
 def test_partial_ray_range():
-    """The sharded-renderer contract: an arbitrary row-major pixel band
-    must equal the same slice of the full frame."""
+    """The sharded-renderer contract: an arbitrary dispatch-slot band must
+    equal the corresponding pixels of the full frame (slots walk 8x8
+    pixel blocks — megakernel.slot_to_xy)."""
+    from rtm_tpu.ops.pallas.megakernel import slot_to_xy
     from rtm_tpu.ops.pallas.wavefront import render_rays_wavefront
 
     scene = build_tracer_scene(load_scene(1))
@@ -65,4 +67,6 @@ def test_partial_ray_range():
     band = np.asarray(render_rays_wavefront(
         scene, cam, jnp.uint32(1), cfg, pixel_offset=jnp.int32(3 * res),
         n_rays=5 * res, interpret=True))
-    np.testing.assert_allclose(band, full[3 * res:8 * res], atol=1e-3)
+    slots = np.arange(3 * res, 8 * res)
+    x, y = slot_to_xy(slots, res)
+    np.testing.assert_allclose(band, full[y * res + x], atol=1e-3)

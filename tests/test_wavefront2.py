@@ -52,8 +52,11 @@ def test_scene2_textured_multiframe():
 
 
 def test_partial_ray_range():
-    """Sharded-renderer contract: an arbitrary row-major pixel band must
-    equal the same slice of the full frame."""
+    """Sharded-renderer contract: an arbitrary dispatch-slot band must
+    equal the corresponding pixels of the full frame (slots walk 8x8
+    pixel blocks — megakernel.slot_to_xy)."""
+    from rtm_tpu.ops.pallas.megakernel import slot_to_xy
+
     scene = build_tracer_scene(load_scene(1))
     res = 16
     cam = Camera().spec(res, res)
@@ -64,7 +67,9 @@ def test_partial_ray_range():
     band = np.asarray(render_rays_wavefront2(
         scene, cam, jnp.uint32(1), cfg, pixel_offset=jnp.int32(3 * res),
         n_rays=5 * res, interpret=True))
-    np.testing.assert_allclose(band, full[3 * res:8 * res], atol=1e-3)
+    slots = np.arange(3 * res, 8 * res)
+    x, y = slot_to_xy(slots, res)
+    np.testing.assert_allclose(band, full[y * res + x], atol=1e-3)
 
 
 def test_debug_passes_heatmap():
