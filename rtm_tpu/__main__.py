@@ -41,6 +41,10 @@ def _add_render_args(p):
                         "RayTracing.cpp:130-133): 1 = cluster-passes "
                         "heatmap (cull effectiveness, the analog of the "
                         "shader's BVH-depth views)")
+    p.add_argument("--check-nans", action="store_true",
+                   help="numeric validation layer (SURVEY §5.2): checkify "
+                        "float_checks on the XLA graph + finite output "
+                        "assertion on every frame")
 
 
 def _setup(args, want_host_scene: bool = False):
@@ -84,12 +88,15 @@ def cmd_render(args) -> int:
         # measure of tile-uniform cull effectiveness.
         import jax.numpy as jnp
 
+        import jax
+
         from rtm_tpu.ops.pallas.megakernel import pixel_to_slot, use_block8
         from rtm_tpu.ops.wavefront2 import render_rays_wavefront2
         _, passes = render_rays_wavefront2(
             scene, cam.spec(cfg.width, cfg.height), jnp.uint32(1), cfg,
             pixel_offset=jnp.int32(0), n_rays=cfg.num_pixels,
-            debug_passes=True)
+            debug_passes=True,
+            interpret=(jax.devices()[0].platform != "tpu"))
         passes = np.asarray(passes, np.float32)
         if use_block8(cfg.width, cfg.height):
             p = np.arange(cfg.num_pixels, dtype=np.int32)
@@ -104,9 +111,21 @@ def cmd_render(args) -> int:
               f"heatmap, max {int(hm.max())} passes over "
               f"{cfg.max_bounces} bounces, mean {hm.mean():.1f})")
         return 0
+    if getattr(args, "check_nans", False):
+        import jax.numpy as jnp
+
+        from rtm_tpu.utils.guards import (assert_image_finite,
+                                          checked_render_dispatch)
+        if backend == "xla":
+            # instrumented first frame: pinpoints the first bad primitive
+            checked_render_dispatch(scene, cam.spec(cfg.width, cfg.height),
+                                    jnp.uint32(1), cfg)
     img = np.asarray(render_progressive(
         scene, cam.spec(cfg.width, cfg.height), cfg, args.frames,
         backend=backend))
+    if getattr(args, "check_nans", False):
+        from rtm_tpu.utils.guards import assert_image_finite
+        assert_image_finite(img)
     save_png(args.out, img[::-1])   # row 0 looks down (kernel parity)
     print(f"wrote {args.out}  ({cfg.width}x{cfg.height}, "
           f"{args.frames} frames, backend={backend})")
@@ -159,7 +178,8 @@ def cmd_view(args) -> int:
     scene, cam, cfg, backend, host = _setup(args, want_host_scene=True)
     cfg = dataclasses.replace(cfg, accumulate=True)   # progressive viewer
     renderer = ProgressiveRenderer(scene, cam, cfg)
-    server = ViewerServer(renderer, port=args.port, host_scene=host)
+    server = ViewerServer(renderer, port=args.port, host_scene=host,
+                          scene_id=args.scene)
     print(f"viewer: http://127.0.0.1:{server.port}  (Ctrl-C to stop)")
     server.start(block=True)
     return 0

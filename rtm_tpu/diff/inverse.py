@@ -25,20 +25,36 @@ from .params import SceneParams, apply_params, extract_params
 
 
 @partial(jax.jit, static_argnames=("cfg", "backend", "remat",
-                                   "rebuild_tri_geometry"))
+                                   "rebuild_tri_geometry", "soft_tau"))
 def render_loss(params: SceneParams, scene: TracerScene, cam: CameraSpec,
                 target, frame_index, cfg: RenderConfig, backend: str = "xla",
-                remat: bool = True, rebuild_tri_geometry: bool = True):
-    """Mean squared pixel error of a single dispatch against `target`."""
+                remat: bool = True, rebuild_tri_geometry: bool = True,
+                soft_tau: float = 0.0):
+    """Mean squared pixel error of a single dispatch against `target`.
+
+    soft_tau > 0 enables soft primary visibility (diff/silhouette.py):
+    geometry gradients pick up the silhouette edge term the detached
+    argmin drops, at the cost of a ~tau-wide soft edge band in the loss.
+    """
     full = apply_params(scene, params, rebuild_tri_geometry)
-    img = render_dispatch(full, cam, frame_index, cfg, backend=backend,
-                          remat=remat)
+    if soft_tau > 0.0:
+        from ..ops.trace_ref import pixel_grid
+        from .silhouette import render_soft_primary
+        x, y = pixel_grid(cfg.width, cfg.height)
+        img = render_soft_primary(full, cam, x, y, frame_index, cfg,
+                                  tau=soft_tau, backend=backend,
+                                  remat=remat)
+        img = img.reshape(cfg.height, cfg.width, 3)
+    else:
+        img = render_dispatch(full, cam, frame_index, cfg, backend=backend,
+                              remat=remat)
     return jnp.mean((img - target) ** 2)
 
 
 loss_and_grad = jax.jit(
     jax.value_and_grad(render_loss),
-    static_argnames=("cfg", "backend", "remat", "rebuild_tri_geometry"))
+    static_argnames=("cfg", "backend", "remat", "rebuild_tri_geometry",
+                     "soft_tau"))
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,120 @@
+"""Silhouette-aware gradients: soft primary visibility.
+
+The renderer's hit topology is detached (argmin indices), so geometry
+gradients are exact for *interior* shading terms but ZERO at visibility
+silhouettes — moving a sphere's edge across a pixel is a step function
+(SURVEY.md Phase 4 hard part #4; the round-1 grad tests deliberately
+tested interior-only configurations).
+
+This module adds the standard soft-visibility treatment (SoftRas-style
+sigmoid coverage) for the PRIMARY hit, where silhouette terms dominate
+inverse-rendering objectives:
+
+    margin  m = signed distance-to-silhouette proxy of the winning
+                primitive (sphere: (r^2 - p^2)/r^2 with p the ray's
+                perpendicular miss distance; triangle: min barycentric
+                coordinate of the hit point),
+    alpha   = sigmoid(m / tau),
+    img     = alpha * img_hard + (1 - alpha) * sky(d).
+
+Both margins are smooth functions of the geometry parameters, so
+jax.grad picks up the edge term that the detached argmin drops; as
+tau -> 0 the soft image converges to the hard render.  Scope (documented
+limitation): the blend target is the environment — silhouettes against
+the sky are exact, silhouettes of one object occluding another blend
+toward sky rather than the occluded object's radiance (an O(alpha *
+(C_occluded - C_sky)) bias confined to edge pixels).
+
+Use: diff.render_loss(..., soft_tau=0.01) or render_soft_primary directly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..models.camera import CameraSpec
+from ..models.scene import TracerScene
+from ..ops import rng
+from ..ops.intersect import dot3, nearest_sphere, normalize
+from ..ops.shade import sky_color_quads
+from ..ops.trace_ref import _gather, camera_ray_basis, render_pixels
+
+
+def primary_soft_alpha(scene: TracerScene, origin, direction, tau: float):
+    """Soft coverage of each ray's primary hit: (N,) in (0, 1).
+
+    Interior rays saturate to ~1; rays crossing a silhouette get a smooth
+    transition of width ~tau in margin units.  Fully differentiable in
+    sphere centers/radii and triangle vertices.
+    """
+    n = origin.shape[0]
+    alpha = jnp.ones((n,), jnp.float32)
+
+    if scene.num_spheres > 0:
+        t_s, i_s = nearest_sphere(origin, direction, scene.sph_pos,
+                                  scene.sph_radius)
+        si = jnp.clip(i_s, 0, scene.num_spheres - 1)
+        c = _gather(scene.sph_pos, si)
+        r = _gather(scene.sph_radius, si)
+        oc = origin - c
+        # perpendicular miss distance^2 of the (unit-direction) ray
+        along = dot3(oc, direction)
+        p2 = dot3(oc, oc) - along * along
+        m_sph = (r * r - p2) / jnp.maximum(r * r, 1e-12)
+        a_sph = jnp.where(i_s >= 0,
+                          jax.nn.sigmoid(m_sph / tau), 1.0)
+    else:
+        t_s = jnp.full((n,), jnp.inf)
+        a_sph = jnp.ones((n,), jnp.float32)
+
+    if scene.num_triangles > 0:
+        from ..ops.intersect import TriFeatures, nearest_triangle
+        feats = TriFeatures.build(scene.tri_wa, scene.tri_wb, scene.tri_wc)
+        t_t, i_t = nearest_triangle(origin, direction, feats)
+        ti = jnp.clip(i_t, 0, scene.num_triangles - 1)
+        a = _gather(scene.tri_wa, ti)
+        b = _gather(scene.tri_wb, ti)
+        cc = _gather(scene.tri_wc, ti)
+        nvec = jnp.cross(b - a, cc - a)
+        det = -dot3(direction, nvec)
+        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        ao = origin - a
+        dao = jnp.cross(ao, direction)
+        u = dot3(cc - a, dao) * inv_det
+        v = -dot3(b - a, dao) * inv_det
+        w = 1.0 - u - v
+        m_tri = jnp.minimum(jnp.minimum(u, v), w)       # <0 outside
+        a_tri = jnp.where(i_t >= 0,
+                          jax.nn.sigmoid(m_tri / tau), 1.0)
+    else:
+        t_t = jnp.full((n,), jnp.inf)
+        a_tri = jnp.ones((n,), jnp.float32)
+
+    # the winner's margin is the one that matters
+    return jnp.where(t_t < t_s, a_tri, a_sph)
+
+
+def render_soft_primary(scene: TracerScene, cam: CameraSpec, x, y,
+                        frame_index, cfg: RenderConfig, tau: float = 0.01,
+                        chunk: int = 512, backend: str = "xla",
+                        remat: bool = False):
+    """Hard multi-bounce render blended with soft primary coverage.
+
+    Returns (N, 3); equals render_pixels as tau -> 0, but differentiable
+    through primary silhouettes.
+    """
+    img = render_pixels(scene, cam, x, y, frame_index, cfg, chunk=chunk,
+                        backend=backend, remat=remat)
+
+    focus_point, right, up, position = camera_ray_basis(cam, cfg, x, y)
+    # primary-ray direction of the FIRST sample, no jitter (the coverage
+    # factor is a per-pixel geometric weight, not a stochastic estimate)
+    direction = normalize(focus_point - position[None, :])
+    origin = jnp.broadcast_to(position[None, :], direction.shape)
+    alpha = primary_soft_alpha(scene, origin, direction, tau)
+
+    sky = sky_color_quads(direction, scene.sky_quads,
+                          scene.sky.shape[0], scene.sky.shape[1])
+    draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
+    return alpha[:, None] * img + (1.0 - alpha[:, None]) * sky * draw_env

@@ -907,7 +907,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                            cfg: RenderConfig, pixel_offset, n_rays: int,
                            ray_tile: int = DEFAULT_RAY_TILE,
                            cull: bool = True, interpret: bool = False,
-                           early_exit: bool = False):
+                           early_exit: bool = False,
+                           skip_postpass: bool = False):
     """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) of the
     cfg.width x cfg.height grid — the unit the multi-chip sharded renderer
     dispatches per device band (parallel/sharding.py).  Returns (n_rays, 3)
@@ -1000,6 +1001,10 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
         rec = None
 
     color = main[0:3, :n].T                              # (N,3)
+    if skip_postpass:
+        # perf-triage probe: raw in-kernel radiance, texture/sky
+        # reconstruction skipped (scripts/postpass_breakdown.py)
+        return color
     draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
 
     for f in range(frames):

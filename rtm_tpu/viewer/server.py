@@ -213,8 +213,9 @@ class ViewerServer:
     threads)."""
 
     def __init__(self, renderer: ProgressiveRenderer, host: str = "127.0.0.1",
-                 port: int = 0, host_scene=None) -> None:
+                 port: int = 0, host_scene=None, scene_id: int = 0) -> None:
         self.renderer = renderer
+        self.scene_id = scene_id        # settings-panel scene combo
         self.editor = None
         if host_scene is not None:
             from ..runtime.editor import SceneEditor
@@ -229,6 +230,36 @@ class ViewerServer:
         self._running = False
         self._httpd = ThreadingHTTPServer((host, port), self._handler())
         self.port = self._httpd.server_address[1]
+
+    # -- settings panel (ref RayTracing.cpp:73-150 semantics) --------------
+    def apply_settings(self, data: dict) -> None:
+        """One settings-panel edit: render-config sliders don't reset
+        accumulation (reference keeps blending); Reset button and camera
+        edits do; scene combo reloads the scene."""
+        r = self.renderer
+        cfg_keys = {"max_bounces", "max_frames", "accumulate",
+                    "draw_environment", "debug"}
+        cfg_edit = {k: data[k] for k in cfg_keys if k in data}
+        if cfg_edit:
+            r.set_config(**cfg_edit)
+        cam_changed = False
+        for key, attr in (("fov", "fov"), ("blur", "blur_strength"),
+                          ("defocus", "defocus_strength"),
+                          ("focus_distance", "focus_distance")):
+            if key in data:
+                setattr(r.camera, attr, float(data[key]))
+                cam_changed = True
+        if cam_changed or data.get("reset"):
+            r.reset()                      # camera edit / Reset button
+        if "scene" in data:
+            from ..models.scenes import load_scene
+            sid = int(data["scene"])
+            host = load_scene(sid)
+            self.scene_id = sid
+            r.set_scene(host)
+            if self.editor is not None:
+                from ..runtime.editor import SceneEditor
+                self.editor = SceneEditor(host, r)
 
     # -- render loop -------------------------------------------------------
     def step(self) -> None:
@@ -293,6 +324,15 @@ class ViewerServer:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 data = json.loads(self.rfile.read(n) or b"{}")
+                if self.path.startswith("/settings"):
+                    try:
+                        viewer.apply_settings(data)
+                        self._send(200, b'{"ok": true}', "application/json")
+                    except Exception as exc:
+                        self._send(400, json.dumps(
+                            {"ok": False, "error": str(exc)}).encode(),
+                            "application/json")
+                    return
                 if self.path.startswith("/edit"):
                     if viewer.editor is None:
                         self._send(404, b"{}", "application/json")

@@ -1,9 +1,12 @@
-"""Isolate the remaining megakernel frame-time after the quad-gather fix:
-kernel+records vs texture post-pass vs sky pass on scene 3 (textured) and
-scene 4 (untextured twin).
+"""Megakernel frame-time split: in-kernel time vs the XLA texture/sky
+post-pass, on scene 3 (textured) and its stripped-texture twin.
+
+Run: python scripts/postpass_breakdown.py [res]
 """
 from __future__ import annotations
 
+import dataclasses
+import functools
 import os
 import sys
 import time
@@ -12,96 +15,65 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("RTM_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["RTM_BENCH_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/rtm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
-from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
-from rtm_tpu.ops.pallas import megakernel as mk
-
-W = H = 512
-B = 8
-cfg = RenderConfig(width=W, height=H, max_bounces=B, max_frames=1,
-                   draw_environment=True, accumulate=True)
-cam = Camera().spec(W, H)
-s3 = build_tracer_scene(load_scene(3))
-s4 = build_tracer_scene(load_scene(4))
+from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene  # noqa: E402
+from rtm_tpu.ops.pallas.megakernel import render_rays_megakernel  # noqa: E402
 
 
 def timeit(name, fn, *args, reps=10):
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(jnp.uint32(1), *args))
+    out = fn(jnp.uint32(1), *args)
+    _ = float(np.asarray(out).ravel()[0])
     c = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(reps):
         out = fn(jnp.uint32(2 + i), *args)
     jax.block_until_ready(out)
+    _ = float(np.asarray(out).ravel()[0])
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:40s} {dt*1e3:9.2f} ms  (compile {c:.0f}s)", flush=True)
+    print(f"{name:44s} {dt*1e3:9.2f} ms  (compile {c:.0f}s)", flush=True)
+    return dt
 
 
-import functools
+def strip_textures(scene):
+    mats = dataclasses.replace(
+        scene.materials, texture_id=jnp.full_like(scene.materials.texture_id,
+                                                  -1))
+    return dataclasses.replace(scene, materials=mats, any_textured=False)
 
 
-@functools.partial(jax.jit, static_argnames=("scene_tag",))
-def full(fi, scene, scene_tag=None):
-    return mk.render_megakernel(scene, cam, fi, cfg)
+def main():
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    bounces = int(os.environ.get("RTM_BENCH_BOUNCES", 8))
+    cfg = RenderConfig(width=res, height=res, max_bounces=bounces,
+                       max_frames=1, draw_environment=True)
+    cam = Camera().spec(res, res)
+    s3 = build_tracer_scene(load_scene(3))
+    s3s = strip_textures(s3)
+    n = res * res
+
+    def run(fi, scene, skip):
+        return render_rays_megakernel(
+            scene, cam, fi, cfg, pixel_offset=jnp.int32(0), n_rays=n,
+            skip_postpass=skip)
+
+    f_full = jax.jit(functools.partial(run, skip=False))
+    f_kern = jax.jit(functools.partial(run, skip=True))
+    a = timeit("s3 textured  full (kernel+postpass)", f_full, s3)
+    b = timeit("s3 textured  kernel only", f_kern, s3)
+    c = timeit("s3 striptex  full", f_full, s3s)
+    d = timeit("s3 striptex  kernel only", f_kern, s3s)
+    print(f"# textured postpass {1e3*(a-b):.1f} ms | "
+          f"textured-vs-striptex kernel delta {1e3*(b-d):.1f} ms | "
+          f"striptex postpass {1e3*(c-d):.1f} ms", flush=True)
 
 
-# kernel only: run render_rays but truncate before the post-pass by
-# monkey-free approach — call pallas directly via the module internals
-@jax.jit
-def kernel_only_s3(fi, scene):
-    import numpy as np
-    pack = mk.build_mega_pack(scene)
-    # reuse the driver up to the pallas_call by calling with a stub that
-    # sums raw outputs: emulate by calling render_rays_megakernel's pieces
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    n = W * H
-    r = mk.DEFAULT_RAY_TILE
-    camf = mk._pack_camera(cam)
-    fidx = jnp.asarray(fi, jnp.uint32).reshape(1, 1)
-    pix0 = jnp.int32(0).reshape(1, 1)
-    const = lambda i: (0, 0)
-    in_specs = [pl.BlockSpec((1, 64), const, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM)]
-    inputs = [camf, fidx, pix0]
-    tp = pack.n_clusters * mk.CLUSTER
-    in_specs += [pl.BlockSpec((tp, 16), const, memory_space=pltpu.VMEM),
-                 pl.BlockSpec((mk.NUM_ATTRS, tp), const,
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((pack.n_clusters, 8), const,
-                              memory_space=pltpu.SMEM)]
-    inputs += [pack.tri_feats, pack.tri_attrs, pack.boxes]
-    textured = scene.any_textured
-    out_shape = [jax.ShapeDtypeStruct((8, n), jnp.float32),
-                 jax.ShapeDtypeStruct((8, n), jnp.float32)]
-    out_specs = [pl.BlockSpec((8, r), lambda i: (0, i),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((8, r), lambda i: (0, i),
-                              memory_space=pltpu.VMEM)]
-    if textured:
-        out_shape.append(jax.ShapeDtypeStruct((8 * B, n), jnp.float32))
-        out_specs.append(pl.BlockSpec((8 * B, r), lambda i: (0, i),
-                                      memory_space=pltpu.VMEM))
-    kernel = mk._make_kernel(ray_tile=r, n_clusters=pack.n_clusters,
-                             n_sph=pack.n_spheres_padded, max_bounces=B,
-                             max_frames=1, textured=textured, cull=True,
-                             width=W, height=H, early_exit=False)
-    outs = pl.pallas_call(
-        kernel, grid=(n // r,), in_specs=in_specs,
-        out_specs=tuple(out_specs), out_shape=tuple(out_shape),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(*inputs)
-    return sum(o[0, ::97].sum() for o in outs)
-
-
-timeit("mega_s3_full", full, s3, "s3")
-timeit("mega_s4_full", full, s4, "s4")
-timeit("mega_s3_kernel_only", kernel_only_s3, s3)
-timeit("mega_s4_kernel_only", kernel_only_s3, s4)
-print("# done", flush=True)
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,31 @@ def test_checkpoint_render_state_resume(tmp_path):
                                            cfg)
     np.testing.assert_allclose(np.asarray(out_resumed),
                                np.asarray(out_direct), atol=1e-6)
+
+
+def test_nan_guards():
+    """SURVEY §5.2 numeric validation layer: checkify float_checks flags a
+    poisoned scene, passes a clean one; output assertion likewise."""
+    import dataclasses
+
+    import pytest
+
+    from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
+    from rtm_tpu.utils.guards import (assert_image_finite,
+                                      checked_render_dispatch)
+
+    scene = build_tracer_scene(load_scene(1))
+    cam = Camera().spec(12, 12)
+    cfg = RenderConfig(width=12, height=12, max_bounces=2, max_frames=1,
+                       draw_environment=True)
+    img = checked_render_dispatch(scene, cam, jnp.uint32(1), cfg)
+    assert_image_finite(img)
+
+    bad = dataclasses.replace(
+        scene, sph_pos=scene.sph_pos.at[0, 0].set(jnp.nan))
+    with pytest.raises(Exception) as ei:
+        checked_render_dispatch(bad, cam, jnp.uint32(1), cfg)
+    assert "nan" in str(ei.value).lower()
+
+    with pytest.raises(FloatingPointError):
+        assert_image_finite(jnp.array([1.0, jnp.inf, 2.0]))

@@ -257,3 +257,87 @@ def test_inverse_render_recovers_albedo_and_emission():
     np.testing.assert_allclose(np.asarray(p_fit.albedo[0]),
                                np.asarray(true_params.albedo[0]), atol=0.08)
     assert abs(float(p_fit.emission_power[1]) - 2.0) < 0.3
+
+
+# ---------------------------------------------------------------------------
+# Silhouette gradients (SURVEY Phase 4 hard part #4): soft primary
+# visibility removes the round-1 "interior-only" caveat.
+# ---------------------------------------------------------------------------
+
+def _silhouette_scene():
+    """One sphere floating against the sky: every edge pixel is a
+    primary-visibility silhouette — the exact configuration where the
+    detached-topology gradient is zero."""
+    s = Scene(sky=builtin._procedural_sky())
+    s.add_material(Material((0.8, 0.3, 0.2), (1, 1, 1), 0.1, 0, 0, 1.0, -1))
+    s.add_sphere(SphereDef((0.0, 1.0, -3.0), 0.7, 0))
+    return build_tracer_scene(s)
+
+
+def test_silhouette_sphere_center_fd():
+    """Autodiff of the soft-primary render matches central finite
+    differences INCLUDING silhouette pixels (no interior-only masking)."""
+    from rtm_tpu.diff.silhouette import render_soft_primary
+    from rtm_tpu.ops.trace_ref import pixel_grid
+
+    ts = _silhouette_scene()
+    cfg = RenderConfig(width=24, height=20, max_bounces=2,
+                       draw_environment=True)
+    cam = Camera().spec(cfg.width, cfg.height)
+    x, y = pixel_grid(cfg.width, cfg.height)
+    tau = 0.05
+
+    def loss(cx):
+        sc = ts.__class__(**{**ts.__dict__,
+                             "sph_pos": ts.sph_pos.at[0, 0].set(cx)})
+        img = render_soft_primary(sc, cam, x, y, FI, cfg, tau=tau)
+        return jnp.mean(img ** 2)
+
+    c0 = ts.sph_pos[0, 0]
+    g = float(jax.grad(loss)(c0))
+    eps = 1e-3
+    fd = (float(loss(c0 + eps)) - float(loss(c0 - eps))) / (2 * eps)
+    # the hard detached-topology gradient of this scene is ~0 by
+    # construction; the soft gradient must be nonzero and FD-consistent
+    assert abs(fd) > 1e-4, fd
+    np.testing.assert_allclose(g, fd, rtol=0.08, atol=1e-4)
+
+
+def test_silhouette_radius_fd():
+    from rtm_tpu.diff.silhouette import render_soft_primary
+    from rtm_tpu.ops.trace_ref import pixel_grid
+
+    ts = _silhouette_scene()
+    cfg = RenderConfig(width=24, height=20, max_bounces=2,
+                       draw_environment=True)
+    cam = Camera().spec(cfg.width, cfg.height)
+    x, y = pixel_grid(cfg.width, cfg.height)
+
+    def loss(r):
+        sc = ts.__class__(**{**ts.__dict__,
+                             "sph_radius": ts.sph_radius.at[0].set(r)})
+        img = render_soft_primary(sc, cam, x, y, FI, cfg, tau=0.05)
+        return jnp.mean(img ** 2)
+
+    r0 = ts.sph_radius[0]
+    g = float(jax.grad(loss)(r0))
+    eps = 1e-3
+    fd = (float(loss(r0 + eps)) - float(loss(r0 - eps))) / (2 * eps)
+    assert abs(fd) > 1e-4
+    np.testing.assert_allclose(g, fd, rtol=0.08, atol=1e-4)
+
+
+def test_soft_primary_converges_to_hard():
+    """tau -> 0 recovers the hard render away from the edge band."""
+    from rtm_tpu.diff.silhouette import render_soft_primary
+    from rtm_tpu.ops.trace_ref import pixel_grid, render_pixels
+
+    ts = _silhouette_scene()
+    cfg = RenderConfig(width=24, height=20, max_bounces=2,
+                       draw_environment=True)
+    cam = Camera().spec(cfg.width, cfg.height)
+    x, y = pixel_grid(cfg.width, cfg.height)
+    hard = np.asarray(render_pixels(ts, cam, x, y, FI, cfg))
+    soft = np.asarray(render_soft_primary(ts, cam, x, y, FI, cfg, tau=1e-4))
+    frac_diff = (np.abs(hard - soft).max(axis=-1) > 1e-3).mean()
+    assert frac_diff < 0.02          # only the 1-2 px edge band may differ

@@ -101,3 +101,43 @@ def test_roofline_estimate():
                             num_triangles=1756)
     assert 0 < r["expected_ms_per_frame"] < 10_000
     assert r["ceiling_grays_per_sec"] > 0
+
+
+def test_viewer_settings_parity(server):
+    """Settings-panel round trip (ref RayTracing.cpp:73-150): slider edits
+    apply without resetting accumulation; Reset and camera edits reset."""
+    s = server
+    s.step()
+    s.step()
+    assert json.loads(_get(s, "/state").read())["frame_index"] == 2
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{s.port}/settings",
+            data=json.dumps(payload).encode(), method="POST")
+        return json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+    # bounces slider: config applies, accumulation keeps blending
+    assert post({"max_bounces": 3})["ok"]
+    assert s.renderer.cfg.max_bounces == 3
+    s.step()
+    st = json.loads(_get(s, "/state").read())
+    assert st["frame_index"] == 3 and st["max_bounces"] == 3
+
+    # accumulate checkbox off -> frame_index pins to 1 (shader:81 analog)
+    assert post({"accumulate": False})["ok"]
+    s.step()
+    assert json.loads(_get(s, "/state").read())["frame_index"] == 1
+    assert post({"accumulate": True})["ok"]
+
+    # Reset button
+    s.step(); s.step()
+    assert post({"reset": True})["ok"]
+    s.step()
+    assert json.loads(_get(s, "/state").read())["frame_index"] == 1
+
+    # camera edit resets + round-trips
+    assert post({"fov": 60.0})["ok"]
+    s.step()
+    st = json.loads(_get(s, "/state").read())
+    assert st["fov"] == 60.0 and st["frame_index"] == 1
