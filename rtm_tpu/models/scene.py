@@ -111,11 +111,11 @@ class TracerScene:
     tex_size: jax.Array     # (K,2) i32 actual (H,W) per texture
     # quad-packed bilinear tables (ops/shade.py build_quad_flat): one row per
     # texel holding the 2x2 footprint, so a bilinear tap is ONE TPU gather
-    # instead of four.  Both f32: identical arithmetic to the 4-tap
-    # sample_bilinear, AND the production fetch path — XLA's TPU gather is
-    # ~250x faster when the operand is a plain parameter buffer and the
-    # footprint is one row (scripts/gather_matrix.py: 0.03ms vs 7.3ms per
-    # 262k taps), which is why every renderer samples through these.
+    # instead of four — the production fetch path (identical arithmetic to
+    # the 4-tap sample_bilinear).  f32: XLA's fast gather emitter handles
+    # f32 rows; a u8 variant was measured to fall off the fast path
+    # (hot-row taps 0.8 -> 10.2 ms).  Lanes that don't consume a sample
+    # are masked onto row 0 by every caller (latency-bound random rows).
     sky_quads: jax.Array    # (Hs*Ws, 12) f32
     tex_quads: jax.Array    # (K*TH*TW, 12) f32
 
@@ -199,7 +199,8 @@ def _morton_order(wa: np.ndarray, wb: np.ndarray, wc: np.ndarray):
     return np.argsort(code, kind="stable")
 
 
-def build_tracer_scene(scene: Scene, order: str = "bvh") -> TracerScene:
+def build_tracer_scene(scene: Scene, order: str = "bvh",
+                       cluster_max_tris: int = 128) -> TracerScene:
     """Flatten the host scene into the device layout (SceneWrapper parity).
 
     order: 'bvh' (default — SAH-BVH treelet cut, accel/clusters.py: the
@@ -260,7 +261,8 @@ def build_tracer_scene(scene: Scene, order: str = "bvh") -> TracerScene:
         if order == "bvh":
             from ..accel.clusters import bvh_cluster_slices
             perm, cluster_slices = bvh_cluster_slices(
-                np.stack([tri_wa, tri_wb, tri_wc], axis=1))
+                np.stack([tri_wa, tri_wb, tri_wc], axis=1),
+                max_tris=cluster_max_tris)
         else:
             perm = _morton_order(tri_wa, tri_wb, tri_wc)
         tri_wa, tri_wb, tri_wc = tri_wa[perm], tri_wb[perm], tri_wc[perm]

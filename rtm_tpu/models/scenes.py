@@ -38,7 +38,9 @@ def _procedural_sky(h: int = 64, w: int = 128) -> np.ndarray:
 def _procedural_checker(n: int = 64) -> np.ndarray:
     yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
     c = ((xx // 8 + yy // 8) % 2).astype(np.float32)
-    return np.stack([c, c, c], axis=-1) * 0.9 + 0.05
+    t = np.stack([c, c, c], axis=-1) * 0.9 + 0.05
+    # 8-bit quantized like every file-loaded texture (u8 quad-table parity)
+    return np.round(t * 255.0) / np.float32(255.0)
 
 
 def load_sky() -> np.ndarray:

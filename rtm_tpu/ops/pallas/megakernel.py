@@ -1009,10 +1009,14 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
 
     for f in range(frames):
         if textured:
-            pt = jnp.ones((n, 3), jnp.float32)           # Π texture albedos
+            # Phase 1: per-bounce uv/id prep (elementwise) -> ONE stacked
+            # (B, N) texture tap.  The tap is latency-bound on random table
+            # rows; batching all bounces into a single take lets the
+            # gather pipeline every bounce's requests together instead of
+            # draining per bounce.
+            uus, vvs, tids, texs = [], [], [], []
             for b in range(bounces):
                 row = (f * bounces + b) * 8
-                s_term = rec[row:row + 3, :n].T          # (N,3)
                 ra = rec[row + 3, :n]
                 rb = rec[row + 4, :n]
                 rc = rec[row + 5, :n]
@@ -1027,11 +1031,23 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                     sflag > 0.5,
                     jnp.arcsin(jnp.clip(rb, -1.0 + 1e-6, 1.0 - 1e-6))
                     / PI + 0.5, rb)
-                tid = jnp.where(has_tex, texid.astype(jnp.int32), 0)
-                tex_rgb = sample_texture_quads(
-                    scene.tex_quads, scene.tex_size,
-                    scene.textures.shape[1], scene.textures.shape[2],
-                    tid, uu, vv)
+                # untextured lanes: collapse the tap onto row 0
+                uus.append(jnp.where(has_tex, uu, 0.0))
+                vvs.append(jnp.where(has_tex, vv, 0.0))
+                tids.append(jnp.where(has_tex, texid.astype(jnp.int32), 0))
+                texs.append(has_tex)
+            tex_all = sample_texture_quads(
+                scene.tex_quads, scene.tex_size,
+                scene.textures.shape[1], scene.textures.shape[2],
+                jnp.stack(tids), jnp.stack(uus), jnp.stack(vvs))  # (B,N,3)
+
+            # Phase 2: emission/albedo chain (shader:575-586 semantics)
+            pt = jnp.ones((n, 3), jnp.float32)           # Π texture albedos
+            for b in range(bounces):
+                row = (f * bounces + b) * 8
+                s_term = rec[row:row + 3, :n].T          # (N,3)
+                has_tex = texs[b]
+                tex_rgb = tex_all[b]
                 t_alb = jnp.where(has_tex[:, None], tex_rgb, 1.0)
                 term = s_term * pt
                 color = color + jnp.where(has_tex[:, None],
@@ -1041,6 +1057,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
         mdir = miss[frow:frow + 3, :n].T
         mctr = miss[frow + 3:frow + 6, :n].T
         mmask = miss[frow + 6, :n] > 0.5
+        mdir = jnp.where(mmask[:, None], mdir,
+                         jnp.array([1.0, 0.0, 0.0], jnp.float32))
         sky_rgb = sky_color_quads(mdir, scene.sky_quads,
                                   scene.sky.shape[0], scene.sky.shape[1])
         sky_term = mctr * sky_rgb * draw_env

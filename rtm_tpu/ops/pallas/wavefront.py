@@ -531,6 +531,10 @@ def render_rays_wavefront(scene: TracerScene, cam: CameraSpec, frame_index,
                     sflag > 0.5,
                     jnp.arcsin(jnp.clip(rb, -1.0 + 1e-6, 1.0 - 1e-6))
                     / PI + 0.5, rb)
+                # untextured lanes: tap row 0 (random-row gathers are
+                # latency-bound — see megakernel post-pass)
+                uu = jnp.where(has_tex, uu, 0.0)
+                vv = jnp.where(has_tex, vv, 0.0)
                 tid = jnp.where(has_tex, texid.astype(jnp.int32), 0)
                 tex_rgb = sample_texture_quads(
                     scene.tex_quads, scene.tex_size,
@@ -545,7 +549,8 @@ def render_rays_wavefront(scene: TracerScene, cam: CameraSpec, frame_index,
             # sky on this bounce's misses (shader:663-666); direction and
             # P^m are untouched by the kernel for missed lanes
             miss_now = prev_alive & ~new_alive
-            mdir = new_state[3:6, :]
+            mdir = jnp.where(miss_now[None, :], new_state[3:6, :],
+                             jnp.array([[1.0], [0.0], [0.0]], jnp.float32))
             mctr = new_state[_R_CR:_R_CB + 1, :]
             sky_rgb = sky_color_quads(mdir.T, scene.sky_quads,
                                       scene.sky.shape[0],

@@ -77,9 +77,14 @@ def build_quad_flat(img, wrap: str, dtype=jnp.float32):
 
     TPU gathers cost ~20ns *per row* regardless of row width (measured:
     262k 3-wide rows 4.9ms vs 8-wide 6.0ms), so fetching the whole bilinear
-    footprint in ONE row gather is ~4x cheaper than four taps.  LDR texture
-    data (u8/255) stored bf16 loses <=0.2% — below the path-tracer's own
-    f32 noise floor; the sky table stays f32 (exact).
+    footprint in ONE row gather is ~4x cheaper than four taps.
+
+    dtype=jnp.uint8 stores the row as the ORIGINAL texel bytes
+    (round(v*255)) and sample_quads dequantizes with /255 after the
+    gather: EXACT for u8-sourced images (every reference texture and the
+    LDR-quantized sky/HDR path, VulkanTexture.cpp:19), and 4x less HBM
+    traffic — the tap is latency-bound on random rows of tables up to
+    4096^2 texels (805MB at f32, 201MB at u8).
     """
     img = jnp.asarray(img, jnp.float32)
     h, w = img.shape[0], img.shape[1]
@@ -94,7 +99,13 @@ def build_quad_flat(img, wrap: str, dtype=jnp.float32):
     c10 = img[yn]
     c11 = img[yn][:, xn]
     quads = jnp.concatenate([c00, c01, c10, c11], axis=-1)   # (H,W,12)
-    return quads.reshape(h * w, 12).astype(dtype)
+    quads = quads.reshape(h * w, 12)
+    if dtype == jnp.uint8:
+        q8 = jnp.round(jnp.clip(quads, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        # pad rows 12 -> 16 bytes: power-of-2 stride keeps every row in
+        # one aligned 16B chunk (the random-row fetch is latency-bound)
+        return jnp.pad(q8, ((0, 0), (0, 4)))
+    return quads.astype(dtype)
 
 
 def sample_quads(flat_quads, h, w, u, v, wrap: str, base=0, row_w=None):
@@ -127,7 +138,10 @@ def sample_quads(flat_quads, h, w, u, v, wrap: str, base=0, row_w=None):
         x0 = jnp.clip(x0, 0, w - 1)
         y0 = jnp.clip(y0, 0, h - 1)
     q = jnp.take(flat_quads, base + y0 * row_w + x0, axis=0)
-    q = q.astype(jnp.float32)
+    if flat_quads.dtype == jnp.uint8:
+        q = q.astype(jnp.float32) * np.float32(1.0 / 255.0)
+    else:
+        q = q.astype(jnp.float32)
     top = q[..., 0:3] * (1.0 - fx) + q[..., 3:6] * fx
     bot = q[..., 6:9] * (1.0 - fx) + q[..., 9:12] * fx
     return top * (1.0 - fy) + bot * fy

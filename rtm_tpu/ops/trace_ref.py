@@ -165,11 +165,15 @@ def shade_bounce(scene: TracerScene, cfg: RenderConfig, draw_env,
     Shared by the dense scan renderer and the sorted-wavefront renderer.
     """
     mats = scene.materials
-    # miss -> sky (shader:663-666); quad-table fetch = the TPU gather
-    # fast path (identical f32 arithmetic to sky_color)
-    sky = sky_color_quads(d, scene.sky_quads,
-                          scene.sky.shape[0], scene.sky.shape[1])
+    # miss -> sky (shader:663-666); quad-table row fetch.  Non-miss lanes
+    # don't consume the sample, so their direction is masked to a constant:
+    # the tap is latency-bound on RANDOM table rows, and collapsing dead
+    # lanes onto one hot row removes most of the traffic.
     miss_now = alive & ~p["hit"]
+    d_sky = jnp.where(miss_now[:, None], d,
+                      jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    sky = sky_color_quads(d_sky, scene.sky_quads,
+                          scene.sky.shape[0], scene.sky.shape[1])
     color = jnp.where(miss_now[:, None],
                       color + sky * contrib * draw_env, color)
 
@@ -190,10 +194,12 @@ def shade_bounce(scene: TracerScene, cfg: RenderConfig, draw_env,
         color = jnp.where(live[:, None], shade_val, color)
     else:
         has_tex = m_tex >= 0
+        # untextured lanes: collapse the (garbage-uv) tap onto row 0
         alb_tex = sample_texture_quads(
             scene.tex_quads, scene.tex_size,
             scene.textures.shape[1], scene.textures.shape[2],
-            m_tex, p["u"], p["v"])
+            m_tex, jnp.where(has_tex, p["u"], 0.0),
+            jnp.where(has_tex, p["v"], 0.0))
         emis = jnp.where(has_tex[:, None],
                          alb_tex * m_emp[:, None],
                          m_emc * m_emp[:, None])            # shader:575-585
