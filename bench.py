@@ -58,6 +58,9 @@ def main() -> None:
     scene = build_tracer_scene(load_scene(scene_id))
     cam = Camera().spec(cfg.width, cfg.height)
 
+    # render_dispatch is itself @jax.jit (static cfg/backend); an outer jit
+    # closing over scene would bake the texture tables into the HLO as
+    # constants (see scripts/bench_backends.py)
     def dispatch(fi):
         return render_dispatch(scene, cam, fi, cfg, backend=backend)
 

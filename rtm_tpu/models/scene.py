@@ -116,8 +116,8 @@ class TracerScene:
     # f32 rows; a u8 variant was measured to fall off the fast path
     # (hot-row taps 0.8 -> 10.2 ms).  Lanes that don't consume a sample
     # are masked onto row 0 by every caller (latency-bound random rows).
-    sky_quads: jax.Array    # (Hs*Ws, 12) f32
-    tex_quads: jax.Array    # (K*TH*TW, 12) f32
+    sky_quads: jax.Array    # (Hs*Ws, 4) i32 packed / (.., 12) f32 fallback
+    tex_quads: jax.Array    # (K*TH*TW, 4) i32 packed / (.., 12) f32
 
     # static (non-pytree) metadata: does any material reference a texture?
     # Kernels specialize on this (the megakernel's deferred-texture records
@@ -144,17 +144,23 @@ class TracerScene:
 
 
 def _stack_textures(textures: list[np.ndarray]):
-    from ..ops.shade import build_quad_flat
+    from ..ops.shade import build_quad_flat, quad_exact_u8
 
     if not textures:
         return (jnp.zeros((1, 1, 1, 3), jnp.float32),
                 jnp.ones((1, 2), jnp.int32),
-                jnp.zeros((1, 12), jnp.float32))
+                jnp.zeros((1, 4), jnp.int32))
     th = max(t.shape[0] for t in textures)
     tw = max(t.shape[1] for t in textures)
+    # i32-packed quad rows (16B) halve the latency-bound random-row tap
+    # cost vs f32x12 (48B) and are EXACT for u8-sourced texels (every
+    # loader path); arbitrary float textures fall back to f32 rows
+    packed = all(quad_exact_u8(t[..., :3]) for t in textures)
+    qdtype = jnp.int32 if packed else jnp.float32
+    qw = 4 if packed else 12
     stack = np.zeros((len(textures), th, tw, 3), np.float32)
     sizes = np.zeros((len(textures), 2), np.int32)
-    quads = jnp.zeros((len(textures), th * tw, 12), jnp.float32)
+    quads = jnp.zeros((len(textures), th * tw, qw), qdtype)
     for i, t in enumerate(textures):
         h, w = t.shape[0], t.shape[1]
         stack[i, :h, :w] = t[..., :3]
@@ -162,11 +168,11 @@ def _stack_textures(textures: list[np.ndarray]):
         # per-texture quad table at TRUE extent (repeat wrap baked), placed
         # into the padded row layout so base + y*TW + x indexes it
         q = build_quad_flat(t[..., :3], wrap="repeat",
-                            dtype=jnp.float32).reshape(h, w, 12)
+                            dtype=qdtype).reshape(h, w, qw)
         quads = quads.at[i].set(
-            jnp.pad(q, ((0, th - h), (0, tw - w), (0, 0))).reshape(-1, 12))
+            jnp.pad(q, ((0, th - h), (0, tw - w), (0, 0))).reshape(-1, qw))
     return (jnp.asarray(stack), jnp.asarray(sizes),
-            quads.reshape(len(textures) * th * tw, 12))
+            quads.reshape(len(textures) * th * tw, qw))
 
 
 def _morton_order(wa: np.ndarray, wb: np.ndarray, wc: np.ndarray):
@@ -277,8 +283,11 @@ def build_tracer_scene(scene: Scene, order: str = "bvh",
     sky = scene.sky if scene.sky is not None else np.zeros((1, 1, 3), np.float32)
     textures, tex_size, tex_quads = _stack_textures(scene.textures)
 
-    from ..ops.shade import build_quad_flat
-    sky_quads = build_quad_flat(np.asarray(sky, np.float32), wrap="clamp")
+    from ..ops.shade import build_quad_flat, quad_exact_u8
+    sky_np = np.asarray(sky, np.float32)
+    sky_quads = build_quad_flat(
+        sky_np, wrap="clamp",
+        dtype=jnp.int32 if quad_exact_u8(sky_np) else jnp.float32)
 
     return TracerScene(
         materials=mats,

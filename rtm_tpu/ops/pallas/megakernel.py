@@ -295,6 +295,18 @@ def pixel_to_slot(p, width: int):
     return ((y // 8) * (width // 8) + x // 8) * 64 + (y % 8) * 8 + x % 8
 
 
+def slots_to_image(color, width: int, height: int):
+    """(W*H, C) slot-order -> (H, W, C) row-major as a pure layout op.
+
+    The slot order is (block_y, block_x, y%8, x%8) row-major, so the inverse
+    permutation is a reshape/transpose — NOT a take: a 262k-row take is a
+    latency-bound gather (~4ms/frame at 512^2) while this lowers to an XLA
+    transpose."""
+    c = color.shape[-1]
+    img = color.reshape(height // 8, width // 8, 8, 8, c)
+    return img.transpose(0, 2, 1, 3, 4).reshape(height, width, c)
+
+
 # ---------------------------------------------------------------------------
 # In-kernel helpers (componentwise 3-vectors as (1,R) row tuples)
 # ---------------------------------------------------------------------------
@@ -334,6 +346,40 @@ def _select(m, a, b):
 # The kernel
 # ---------------------------------------------------------------------------
 
+def _safe_inv_dirs(dx, dy, dz):
+    """NaN-safe slab reciprocals: clamp |d| away from 0 (sign-preserving).
+    d==0 would give inf, and (lo-o)*inf = NaN when o sits exactly on the
+    bound, which the min/max chain resolves to a FALSE cull (missed
+    intersection).  With the clamp, |d|<eps rays see (+/-)huge slab
+    bounds: inside the box -> pass, outside -> empty — exactly the true
+    d==0 limit."""
+    eps = jnp.float32(1e-12)
+    dxs = _select(jnp.abs(dx) < eps, _select(dx >= 0.0, eps, -eps), dx)
+    dys = _select(jnp.abs(dy) < eps, _select(dy >= 0.0, eps, -eps), dy)
+    dzs = _select(jnp.abs(dz) < eps, _select(dz >= 0.0, eps, -eps), dz)
+    return 1.0 / dxs, 1.0 / dys, 1.0 / dzs
+
+
+def _slab_near(lox, loy, loz, hix, hiy, hiz, ox, oy, oz,
+               inv_dx, inv_dy, inv_dz):
+    """Per-ray conservative entry distance to an AABB ((1,R) f32, BIG on
+    miss) — the cull test of the reference's bvhTraverse hitBox
+    (RayTracing.shader:305-322) vectorized over the lane axis."""
+    t1x = (lox - ox) * inv_dx
+    t2x = (hix - ox) * inv_dx
+    t1y = (loy - oy) * inv_dy
+    t2y = (hiy - oy) * inv_dy
+    t1z = (loz - oz) * inv_dz
+    t2z = (hiz - oz) * inv_dz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z))
+    return _select((tf >= 0.0) & (tn <= tf), tn, BIG)
+
+
 def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
                ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, cull,
                t_ref, i_ref, npass_ref=None):
@@ -361,22 +407,7 @@ def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
     if npass_ref is not None:
         npass_ref[0, 0] = 0
     if cull:
-        # NaN-safe slab reciprocals: clamp |d| away from 0
-        # (sign-preserving).  d==0 would give inf, and (lo-o)*inf = NaN
-        # when o sits exactly on the bound, which the min/max chain
-        # resolves to a FALSE cull (missed intersection).  With the
-        # clamp, |d|<eps rays see (+/-)huge slab bounds: inside the box
-        # -> pass, outside -> empty — exactly the true d==0 limit.
-        eps = jnp.float32(1e-12)
-        dxs = _select(jnp.abs(dx) < eps,
-                      _select(dx >= 0.0, eps, -eps), dx)
-        dys = _select(jnp.abs(dy) < eps,
-                      _select(dy >= 0.0, eps, -eps), dy)
-        dzs = _select(jnp.abs(dz) < eps,
-                      _select(dz >= 0.0, eps, -eps), dz)
-        inv_dx = 1.0 / dxs
-        inv_dy = 1.0 / dys
-        inv_dz = 1.0 / dzs
+        inv_dx, inv_dy, inv_dz = _safe_inv_dirs(dx, dy, dz)
 
     def cluster_pass(off, wdt):
         lane = slice(off, off + wdt)
@@ -411,21 +442,9 @@ def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
 
     for ci, (off, wdt) in enumerate(zip(offsets, widths)):
         if cull:
-            lox, loy, loz = boxes[ci, 0], boxes[ci, 1], boxes[ci, 2]
-            hix, hiy, hiz = boxes[ci, 3], boxes[ci, 4], boxes[ci, 5]
-            t1x = (lox - ox) * inv_dx
-            t2x = (hix - ox) * inv_dx
-            t1y = (loy - oy) * inv_dy
-            t2y = (hiy - oy) * inv_dy
-            t1z = (loz - oz) * inv_dz
-            t2z = (hiz - oz) * inv_dz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z))
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z))
-            near = _select((tf >= 0.0) & (tn <= tf), tn, BIG)
+            near = _slab_near(boxes[ci, 0], boxes[ci, 1], boxes[ci, 2],
+                              boxes[ci, 3], boxes[ci, 4], boxes[ci, 5],
+                              ox, oy, oz, inv_dx, inv_dy, inv_dz)
             improves = jnp.any((near < t_ref[:, :]) & alive)
 
             @pl.when(improves)
@@ -435,14 +454,132 @@ def _tri_sweep(feats, boxes, offsets, widths, ray_tile,
             cluster_pass(off, wdt)
 
 
+KEY_LANES = 128        # ordered sweep: cluster-key row width (max clusters)
+
+
+def _tri_sweep_ordered(feats, boxes, meta, offsets, widths, ray_tile,
+                       ox, oy, oz, dx, dy, dz, wx, wy, wz, alive,
+                       t_ref, i_ref, keys_ref, npass_ref=None):
+    """Nearest-first culled cluster sweep (the production traversal order).
+
+    The static-order sweep (_tri_sweep) visits clusters in table order, so
+    the carried best-t is still BIG when the early clusters are tested and
+    they all pass (measured 68% cluster pass rate at the headline config).
+    The reference's per-thread BVH traversal wins precisely by visiting
+    children *near-to-far* with t-pruning (RayTracing.shader:438-479).
+    This is that idea at cluster granularity, tile-uniformly:
+
+      1. per bounce, compute every cluster's per-ray slab entry distance
+         and reduce it to a tile key = min over live rays (BIG when no
+         live ray enters the box);
+      2. a fori_loop pops the smallest-key cluster (argmin over the keys
+         row in VMEM scratch), recomputes its near row, and sweeps it only
+         if some live ray could still improve on the carried best-t;
+      3. since best-t only shrinks and near rows are fixed, a cluster that
+         fails the improves test once can never pass later — popping is a
+         permanent discard, and after the nearest hits are found the
+         remaining (far) clusters all fail in a few vector ops each.
+
+    feats rows are indexed dynamically (pl.ds) with the popped cluster's
+    offset read from the SMEM meta table (C,2)=[row offset, padded width];
+    one static branch per DISTINCT padded width keeps the dynamic slice
+    size static.  Numerics are identical to _tri_sweep (same slab test,
+    same approx-reciprocal ordering).
+    """
+    r = ray_tile
+    n_c = len(offsets)
+    assert n_c <= KEY_LANES
+    t_ref[:, :] = jnp.full((1, r), BIG)
+    i_ref[:, :] = jnp.full((1, r), -1, jnp.int32)
+    if npass_ref is not None:
+        npass_ref[0, 0] = 0
+    inv_dx, inv_dy, inv_dz = _safe_inv_dirs(dx, dy, dz)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, KEY_LANES), 1)
+
+    keys_row = jnp.full((1, KEY_LANES), BIG)
+    for ci in range(n_c):
+        near = _slab_near(boxes[ci, 0], boxes[ci, 1], boxes[ci, 2],
+                          boxes[ci, 3], boxes[ci, 4], boxes[ci, 5],
+                          ox, oy, oz, inv_dx, inv_dy, inv_dz)
+        key = jnp.min(jnp.where(alive, near, BIG))
+        keys_row = jnp.where(ciota == ci, key, keys_row)
+    keys_ref[:, :] = keys_row
+
+    def cluster_pass(off, wdt):
+        """off: dynamic scalar i32 row offset; wdt: static padded width."""
+        lane = pl.ds(off, wdt)
+        fseg = feats[lane, :]                                 # (W,16)
+        f = lambda j: fseg[:, j:j + 1]                        # (W,1)
+        det = -(dx * f(_F_NX) + dy * f(_F_NY) + dz * f(_F_NZ))
+        tdet = (ox * f(_F_NX) + oy * f(_F_NY)
+                + oz * f(_F_NZ)) - f(_F_AN)
+        udet = (wx * f(_F_ACX) + wy * f(_F_ACY) + wz * f(_F_ACZ)) \
+            - (dx * f(_F_G1X) + dy * f(_F_G1Y) + dz * f(_F_G1Z))
+        vdet = (dx * f(_F_G2X) + dy * f(_F_G2Y) + dz * f(_F_G2Z)) \
+            - (wx * f(_F_ABX) + wy * f(_F_ABY) + wz * f(_F_ABZ))
+        wdet = det - udet - vdet
+        m = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
+                        jnp.minimum(jnp.minimum(udet, vdet), wdet))
+        valid = m >= 0.0
+        ta = tdet * pl.reciprocal(jnp.maximum(det, DET_EPS), approx=True)
+        tt = _select(valid, ta, BIG)                          # (W,R)
+        crow = jax.lax.broadcasted_iota(jnp.int32, (wdt, r), 0)
+        cmin = jnp.min(tt, axis=0, keepdims=True)
+        cand = jnp.min(_select(tt == cmin, crow, jnp.int32(2 ** 30)),
+                       axis=0, keepdims=True)
+        t_prev = t_ref[:, :]
+        better = cmin < t_prev
+        t_ref[:, :] = _select(better, cmin, t_prev)
+        i_ref[:, :] = _select(better, cand + off, i_ref[:, :])
+        if npass_ref is not None:
+            npass_ref[0, 0] += 1
+
+    width_set = tuple(sorted(set(widths)))
+
+    def pop(rank, _):
+        keys = keys_ref[:, :]
+        kmin = jnp.min(keys)
+
+        @pl.when(kmin < BIG)
+        def _():
+            cidx = jnp.min(jnp.where(keys == kmin, ciota,
+                                     jnp.int32(KEY_LANES)))
+            keys_ref[:, :] = jnp.where(ciota == cidx, BIG, keys)
+            near = _slab_near(
+                boxes[cidx, 0], boxes[cidx, 1], boxes[cidx, 2],
+                boxes[cidx, 3], boxes[cidx, 4], boxes[cidx, 5],
+                ox, oy, oz, inv_dx, inv_dy, inv_dz)
+            improves = jnp.any((near < t_ref[:, :]) & alive)
+
+            @pl.when(improves)
+            def _():
+                off = meta[cidx, 0]
+                cw = meta[cidx, 1]
+                for w in width_set:
+                    @pl.when(cw == w)
+                    def _(w=w):
+                        cluster_pass(off, w)
+        return 0
+
+    jax.lax.fori_loop(0, n_c, pop, 0)
+
+
 def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
                  max_bounces, max_frames, textured, cull, width, height,
-                 early_exit):
-    """Returns the kernel fn closed over all static configuration."""
+                 early_exit, order="near", probe=""):
+    """Returns the kernel fn closed over all static configuration.
+
+    probe: perf-triage builds (scripts/kernel_probe.py) — "" production;
+    "noextract" zeroes the one-hot attribute fetch (sweep kept live);
+    "noshade" replaces the scatter with a mirror bounce (no RNG draws);
+    "nosweep" skips the triangle sweep (extraction still runs on -1).
+    """
     r = ray_tile
     have_tris = len(cluster_widths) > 0
     tp_total = sum(cluster_widths)
     have_sph = n_sph > 0
+    ordered = (cull and order == "near" and have_tris
+               and len(cluster_widths) <= KEY_LANES)
 
     def kernel(*refs):
         it = iter(refs)
@@ -454,12 +591,14 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
         feats = next(it) if have_tris else None
         attrs = next(it) if have_tris else None
         boxes = next(it) if have_tris else None
+        meta = next(it) if ordered else None  # (C,2) i32 SMEM [off, width]
         sph = next(it) if have_sph else None
         color_ref = next(it)                  # (8, R)
         miss_ref = next(it)                   # (8*max_frames, R)
         rec_ref = next(it) if textured else None  # (8*F*B, R)
         t_scr = next(it) if have_tris else None   # (1, R) f32 sweep scratch
         i_scr = next(it) if have_tris else None   # (1, R) i32
+        keys_scr = next(it) if ordered else None  # (1, KEY_LANES) f32
 
         if textured:
             # pre-fill the record block: bounces skipped by the all-dead
@@ -575,11 +714,17 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
                     wx, wy, wz = _cross(ox, oy, oz, dx, dy, dz)
                     t_tri = jnp.full((1, r), BIG)
                     i_tri = jnp.full((1, r), -1, jnp.int32)
-                    if have_tris:
-                        _tri_sweep(
-                            feats, boxes, cluster_offsets, cluster_widths,
-                            r, ox, oy, oz, dx, dy, dz, wx, wy, wz, alive,
-                            cull, t_scr, i_scr)
+                    if have_tris and probe != "nosweep":
+                        if ordered:
+                            _tri_sweep_ordered(
+                                feats, boxes, meta, cluster_offsets,
+                                cluster_widths, r, ox, oy, oz, dx, dy, dz,
+                                wx, wy, wz, alive, t_scr, i_scr, keys_scr)
+                        else:
+                            _tri_sweep(
+                                feats, boxes, cluster_offsets,
+                                cluster_widths, r, ox, oy, oz, dx, dy, dz,
+                                wx, wy, wz, alive, cull, t_scr, i_scr)
                         t_tri = t_scr[:, :]
                         i_tri = i_scr[:, :]
 
@@ -613,7 +758,11 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
                     hit = t_hit < BIG
 
                     # ---- attribute fetch ---------------------------------
-                    if have_tris:
+                    if have_tris and probe == "noextract":
+                        # keep the sweep live: fold its outputs into t_hit
+                        zero = jnp.zeros((1, r), jnp.float32)
+                        e = lambda j: zero + 1e-7 * i_tri.astype(jnp.float32)
+                    elif have_tris:
                         onehot = ((tri_rows == i_tri) & use_tri & alive
                                   ).astype(jnp.bfloat16)         # (T',R)
                         # 3 native bf16 passes reconstruct the exact f32
@@ -745,6 +894,20 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
                         ctr_b = ctr_b * (1.0 - livef + livef * alb)
 
                     # ---- scatter (shader:590-649) ------------------------
+                    if probe == "noshade":
+                        # perf-triage: mirror bounce, no RNG draws
+                        ddnp = _dot(dx, dy, dz, nxh, nyh, nzh)
+                        ox = _select(live, hx + nxh * OFFSET, ox)
+                        oy = _select(live, hy + nyh * OFFSET, oy)
+                        oz = _select(live, hz + nzh * OFFSET, oz)
+                        dx = _select(live, dx - 2.0 * ddnp * nxh, dx)
+                        dy = _select(live, dy - 2.0 * ddnp * nyh, dy)
+                        dz = _select(live, dz - 2.0 * ddnp * nzh, dz)
+                        alive = live
+                        return (ox, oy, oz, dx, dy, dz, seed,
+                                ctr_r, ctr_g, ctr_b, alive,
+                                m_dx, m_dy, m_dz, m_cr, m_cg, m_cb,
+                                col_r, col_g, col_b)
                     d_dot_n = _dot(dx, dy, dz, nxh, nyh, nzh)
                     is_refract = refr > 1.0
                     is_front = d_dot_n < 0.0
@@ -886,7 +1049,7 @@ def _pack_camera(cam: CameraSpec):
 def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                       cfg: RenderConfig, ray_tile: int = DEFAULT_RAY_TILE,
                       cull: bool = True, interpret: bool = False,
-                      early_exit: bool = False):
+                      early_exit: bool = False, order: str = "near"):
     """Full-frame forward dispatch through the megakernel.
 
     Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples —
@@ -896,10 +1059,9 @@ def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     color = render_rays_megakernel(
         scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
         n_rays=cfg.width * cfg.height, ray_tile=ray_tile, cull=cull,
-        interpret=interpret, early_exit=early_exit)
+        interpret=interpret, early_exit=early_exit, order=order)
     if use_block8(cfg.width, cfg.height):
-        p = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
-        color = jnp.take(color, pixel_to_slot(p, cfg.width), axis=0)
+        return slots_to_image(color, cfg.width, cfg.height)
     return color.reshape(cfg.height, cfg.width, 3)
 
 
@@ -908,7 +1070,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                            ray_tile: int = DEFAULT_RAY_TILE,
                            cull: bool = True, interpret: bool = False,
                            early_exit: bool = False,
-                           skip_postpass: bool = False):
+                           skip_postpass: bool = False,
+                           order: str = "near", probe: str = ""):
     """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) of the
     cfg.width x cfg.height grid — the unit the multi-chip sharded renderer
     dispatches per device band (parallel/sharding.py).  Returns (n_rays, 3)
@@ -937,6 +1100,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     ]
     pix0 = jnp.asarray(pixel_offset, jnp.int32).reshape(1, 1)
     inputs = [camf, fidx, pix0]
+    ordered = (cull and order == "near" and pack.n_clusters > 0
+               and pack.n_clusters <= KEY_LANES)
     if pack.n_clusters > 0:
         tp = pack.n_padded_tris
         in_specs += [
@@ -947,6 +1112,12 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                          memory_space=pltpu.SMEM),
         ]
         inputs += [pack.tri_feats, pack.tri_attrs, pack.boxes]
+        if ordered:
+            in_specs.append(pl.BlockSpec((pack.n_clusters, 2), const,
+                                         memory_space=pltpu.SMEM))
+            inputs.append(jnp.asarray(
+                np.stack([pack.cluster_offsets, pack.cluster_widths],
+                         axis=1), jnp.int32))
     if pack.n_spheres_padded > 0:
         in_specs.append(pl.BlockSpec((pack.n_spheres_padded, 16), const,
                                      memory_space=pltpu.VMEM))
@@ -970,7 +1141,7 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
         cluster_widths=pack.cluster_widths,
         n_sph=pack.n_spheres_padded, max_bounces=bounces,
         max_frames=frames, textured=textured, cull=cull,
-        width=w, height=h, early_exit=early_exit)
+        width=w, height=h, early_exit=early_exit, order=order, probe=probe)
 
     try:
         cparams = pltpu.CompilerParams(
@@ -982,6 +1153,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     if pack.n_clusters > 0:
         scratch = [pltpu.VMEM((1, r), jnp.float32),
                    pltpu.VMEM((1, r), jnp.int32)]
+        if ordered:
+            scratch.append(pltpu.VMEM((1, KEY_LANES), jnp.float32))
 
     outs = pl.pallas_call(
         kernel,
@@ -1003,8 +1176,23 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     color = main[0:3, :n].T                              # (N,3)
     if skip_postpass:
         # perf-triage probe: raw in-kernel radiance, texture/sky
-        # reconstruction skipped (scripts/postpass_breakdown.py)
-        return color
+        # reconstruction skipped (scripts/postpass_breakdown.py).  The
+        # epsilon terms keep miss/rec consumed: fully-dead pallas outputs
+        # have been seen to get scoped-VMEM allocations (OOM at 512^2)
+        extra = jnp.sum(miss[:1, :1])
+        if rec is not None:
+            extra = extra + jnp.sum(rec[:1, :1])
+        return color + extra * jnp.float32(1e-30)
+    return mega_postpass(color, miss, rec, scene, cfg, n)
+
+
+def mega_postpass(color, miss, rec, scene: TracerScene, cfg: RenderConfig,
+                  n: int):
+    """The XLA texture/sky reconstruction over the kernel's deferred
+    records (module-level so scripts can profile/tune it in isolation)."""
+    frames = cfg.max_frames
+    bounces = cfg.max_bounces
+    textured = scene.any_textured
     draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
 
     for f in range(frames):

@@ -65,7 +65,7 @@ from .megakernel import (BIG, CLUSTER, NUM_ATTRS, PI, TWO_PI, U32,
                          _S_EMB, _S_EMG, _S_EMP, _S_EMR, _S_METAL, _S_R,
                          _S_REFR, _S_ROUGH, _S_TEX, _cross, _dot, _normalize,
                          _pack_camera, _rand, _select, _tri_sweep,
-                         build_mega_pack, pixel_to_slot, slot_to_xy,
+                         build_mega_pack, slot_to_xy, slots_to_image,
                          use_block8)
 from ..trace_ref import camera_ray_basis
 
@@ -575,6 +575,5 @@ def render_wavefront(scene: TracerScene, cam: CameraSpec, frame_index,
         n_rays=cfg.width * cfg.height, ray_tile=ray_tile, cull=cull,
         sort_from=sort_from, interpret=interpret)
     if use_block8(cfg.width, cfg.height):
-        p = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
-        color = jnp.take(color, pixel_to_slot(p, cfg.width), axis=0)
+        return slots_to_image(color, cfg.width, cfg.height)
     return color.reshape(cfg.height, cfg.width, 3)

@@ -100,12 +100,37 @@ def build_quad_flat(img, wrap: str, dtype=jnp.float32):
     c11 = img[yn][:, xn]
     quads = jnp.concatenate([c00, c01, c10, c11], axis=-1)   # (H,W,12)
     quads = quads.reshape(h * w, 12)
+    if dtype == jnp.int32:
+        # one i32 lane per texel, (r,g,b) in bytes 0..2: 16B rows in a
+        # 32-bit dtype.  The random-row tap cost scales with row BYTES
+        # (measured 50ms->25ms for the 2.1M-tap headline post-pass,
+        # scripts/tex_pack_bench.py), and i32 — unlike the u8 attempt
+        # that regressed 0.8->10ms — stays on XLA's fast gather emitter.
+        # EXACT for u8-sourced images (all loader paths quantize to
+        # byte/255, io/image.py; sample_quads dequantizes with the same
+        # /255 division) — callers must check quad_exact_u8 first.
+        q = jnp.round(jnp.clip(quads, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        q = q.reshape(h * w, 4, 3)
+        return (q[:, :, 0] | (q[:, :, 1] << 8) | (q[:, :, 2] << 16))
     if dtype == jnp.uint8:
         q8 = jnp.round(jnp.clip(quads, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         # pad rows 12 -> 16 bytes: power-of-2 stride keeps every row in
         # one aligned 16B chunk (the random-row fetch is latency-bound)
         return jnp.pad(q8, ((0, 0), (0, 4)))
     return quads.astype(dtype)
+
+
+def quad_exact_u8(img) -> bool:
+    """True when every texel is exactly byte/255 — i.e. the i32-packed quad
+    table reproduces the f32 table bit-for-bit (all file loaders and the
+    procedural textures qualify; arbitrary float textures do not)."""
+    v = np.asarray(img, np.float32)
+    if v.size == 0:
+        return True
+    if v.min() < 0.0 or v.max() > 1.0:
+        return False
+    s = v * np.float32(255.0)
+    return bool(np.max(np.abs(s - np.round(s))) < 1e-3)
 
 
 def sample_quads(flat_quads, h, w, u, v, wrap: str, base=0, row_w=None):
@@ -138,6 +163,20 @@ def sample_quads(flat_quads, h, w, u, v, wrap: str, base=0, row_w=None):
         x0 = jnp.clip(x0, 0, w - 1)
         y0 = jnp.clip(y0, 0, h - 1)
     q = jnp.take(flat_quads, base + y0 * row_w + x0, axis=0)
+    if flat_quads.dtype == jnp.int32:
+        # unpack 4 texels x (r,g,b) bytes; /255 DIVISION matches the
+        # loaders' byte/255 exactly (build_quad_flat dtype=int32)
+        t = []
+        for c in range(4):
+            wrd = q[..., c]
+            t.append(jnp.stack(
+                [(wrd & 0xFF).astype(jnp.float32),
+                 ((wrd >> 8) & 0xFF).astype(jnp.float32),
+                 ((wrd >> 16) & 0xFF).astype(jnp.float32)],
+                axis=-1) / 255.0)
+        top = t[0] * (1.0 - fx) + t[1] * fx
+        bot = t[2] * (1.0 - fx) + t[3] * fx
+        return top * (1.0 - fy) + bot * fy
     if flat_quads.dtype == jnp.uint8:
         q = q.astype(jnp.float32) * np.float32(1.0 / 255.0)
     else:
@@ -160,8 +199,16 @@ def sample_texture_quads(tex_quads, tex_size, th, tw, tex_id, u, v):
     """
     k = tex_size.shape[0]
     tid = jnp.clip(tex_id, 0, k - 1)                      # <0 lanes masked out
-    hw = tex_size[tid]                                    # (...,2)
-    return sample_quads(tex_quads, hw[..., 0], hw[..., 1], u, v,
+    # per-lane (H,W) extents WITHOUT a per-lane gather: tex_size[tid] is a
+    # second 2.1M-row latency-bound gather right next to the texel tap
+    # (measured ~half the texture post-pass); K is tiny, so K broadcasted
+    # selects build the same extents on the VPU for free
+    hh = jnp.full(tid.shape, tex_size[0, 0])
+    ww = jnp.full(tid.shape, tex_size[0, 1])
+    for i in range(1, k):
+        hh = jnp.where(tid == i, tex_size[i, 0], hh)
+        ww = jnp.where(tid == i, tex_size[i, 1], ww)
+    return sample_quads(tex_quads, hh, ww, u, v,
                         wrap="repeat", base=tid * (th * tw), row_w=tw)
 
 

@@ -38,7 +38,7 @@ from ..models.camera import CameraSpec
 from ..models.scene import TracerScene
 from . import rng
 from .intersect import FLT_MAX
-from .pallas.megakernel import (build_mega_pack, pixel_to_slot, slot_to_xy,
+from .pallas.megakernel import (build_mega_pack, slot_to_xy, slots_to_image,
                                 use_block8)
 from .pallas.sweep_kernel import DEFAULT_RAY_TILE, sweep_call
 from .trace_ref import (_triangle_t_from_idx, bounce_payload,
@@ -207,6 +207,5 @@ def render_wavefront2(scene: TracerScene, cam: CameraSpec, frame_index,
         n_rays=cfg.width * cfg.height, ray_tile=ray_tile, cull=cull,
         sort_from=sort_from, interpret=interpret)
     if use_block8(cfg.width, cfg.height):
-        p = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
-        color = jnp.take(color, pixel_to_slot(p, cfg.width), axis=0)
+        return slots_to_image(color, cfg.width, cfg.height)
     return color.reshape(cfg.height, cfg.width, 3)

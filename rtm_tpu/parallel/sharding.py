@@ -86,7 +86,7 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
             from ..ops.pallas.wavefront import render_rays_wavefront as rr
         else:
             from ..ops.pallas.megakernel import render_rays_megakernel as rr
-        from ..ops.pallas.megakernel import pixel_to_slot, use_block8
+        from ..ops.pallas.megakernel import slots_to_image, use_block8
         band = -(-n // n_dev)
 
         # check_vma=False: pallas_call's out_shape carries no varying-mesh
@@ -101,11 +101,8 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
 
         out = shard_mk(scene, cam, frame_index)
         if use_block8(cfg.width, cfg.height):
-            p = jnp.arange(n, dtype=jnp.int32)
-            out = jnp.take(out, pixel_to_slot(p, cfg.width), axis=0)
-        else:
-            out = out[:n]
-        return out.reshape(cfg.height, cfg.width, 3)
+            return slots_to_image(out[:n], cfg.width, cfg.height)
+        return out[:n].reshape(cfg.height, cfg.width, 3)
 
     x, y, _, n = _padded_grid(cfg, n_dev)
 

@@ -1,0 +1,150 @@
+"""Isolate the megakernel texture post-pass: time each candidate stage
+standalone-jitted on REAL kernel record outputs (not diffs of full runs).
+
+Run: python scripts/postpass_profile.py
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/rtm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene  # noqa: E402
+from rtm_tpu.ops import shade  # noqa: E402
+from rtm_tpu.ops.pallas import megakernel as mk  # noqa: E402
+
+RES = 512
+BOUNCES = 8
+
+
+def timeit(name, f, *args, reps=10):
+    out = f(*args)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _i in range(reps):
+        out = f(*args)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:46s} {dt*1e3:8.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    cfg = RenderConfig(width=RES, height=RES, max_bounces=BOUNCES,
+                       max_frames=1, draw_environment=True)
+    cam = Camera().spec(RES, RES)
+    scene = build_tracer_scene(load_scene(3))
+    n = RES * RES
+
+    # one real kernel dispatch -> raw outputs
+    pack = mk.build_mega_pack(scene)
+
+    @jax.jit
+    def kernel_outs(fi):
+        # reproduce render_rays_megakernel's pallas_call, returning raws
+        return mk.render_rays_megakernel(
+            scene, cam, fi, cfg, pixel_offset=jnp.int32(0), n_rays=n,
+            skip_postpass=True), None
+
+    # grab (color, miss, rec) by re-running the pieces: easiest is to call
+    # the full path once and the kernel-only path once; for stage timing we
+    # only need realistically-shaped/filled record arrays, so synthesize
+    # them from one full render's statistics
+    del pack, kernel_outs
+
+    # realistic records: run the kernel via the private driver
+    import rtm_tpu.ops.pallas.megakernel as M
+
+    outs = {}
+    orig = M.mega_postpass
+
+    def capture(color, miss, rec, scene_, cfg_, n_):
+        outs["color"], outs["miss"], outs["rec"] = color, miss, rec
+        return orig(color, miss, rec, scene_, cfg_, n_)
+
+    M.mega_postpass = capture
+    _ = np.asarray(M.render_rays_megakernel(
+        scene, cam, jnp.uint32(1), cfg, pixel_offset=jnp.int32(0), n_rays=n))
+    M.mega_postpass = orig
+    color, miss, rec = (jax.device_put(outs[k])
+                        for k in ("color", "miss", "rec"))
+
+    full = jax.jit(functools.partial(orig, scene=scene, cfg=cfg, n=n))
+    timeit("postpass full", full, color, miss, rec)
+
+    # stage A: per-bounce uv prep (elementwise) only
+    @jax.jit
+    def prep_only(rec):
+        uus, vvs, tids = [], [], []
+        for b in range(BOUNCES):
+            row = b * 8
+            ra = rec[row + 3, :n]
+            rb = rec[row + 4, :n]
+            rc = rec[row + 5, :n]
+            texid = rec[row + 6, :n]
+            sflag = rec[row + 7, :n]
+            has_tex = texid > -0.5
+            uu = jnp.where(sflag > 0.5,
+                           jnp.arctan2(rc, ra) / shade.TWO_PI + 0.5, ra)
+            vv = jnp.where(sflag > 0.5,
+                           jnp.arcsin(jnp.clip(rb, -1.0 + 1e-6, 1.0 - 1e-6))
+                           / shade.PI + 0.5, rb)
+            uus.append(jnp.where(has_tex, uu, 0.0))
+            vvs.append(jnp.where(has_tex, vv, 0.0))
+            tids.append(jnp.where(has_tex, texid.astype(jnp.int32), 0))
+        return jnp.stack(uus).sum() + jnp.stack(vvs).sum() + jnp.stack(tids).sum()
+
+    timeit("stage A: uv/id prep (elementwise)", prep_only, rec)
+
+    # stage B: the stacked texture tap on realistic uv/ids
+    @jax.jit
+    def tap_only(rec):
+        uus, vvs, tids = [], [], []
+        for b in range(BOUNCES):
+            row = b * 8
+            texid = rec[row + 6, :n]
+            has_tex = texid > -0.5
+            uus.append(jnp.where(has_tex, rec[row + 3, :n], 0.0))
+            vvs.append(jnp.where(has_tex, rec[row + 4, :n], 0.0))
+            tids.append(jnp.where(has_tex, texid.astype(jnp.int32), 0))
+        tex = shade.sample_texture_quads(
+            scene.tex_quads, scene.tex_size,
+            scene.textures.shape[1], scene.textures.shape[2],
+            jnp.stack(tids), jnp.stack(uus), jnp.stack(vvs))
+        return tex.sum()
+
+    timeit("stage B: prep + stacked texture tap", tap_only, rec)
+
+    # stage C: sky only
+    @jax.jit
+    def sky_only(miss):
+        mdir = miss[0:3, :n].T
+        mmask = miss[6, :n] > 0.5
+        mdir = jnp.where(mmask[:, None], mdir,
+                         jnp.array([1.0, 0.0, 0.0], jnp.float32))
+        return shade.sky_color_quads(mdir, scene.sky_quads,
+                                     scene.sky.shape[0],
+                                     scene.sky.shape[1]).sum()
+
+    timeit("stage C: sky tap", sky_only, miss)
+
+    # stats: textured-tap fraction per bounce
+    r = np.asarray(rec)
+    for b in range(BOUNCES):
+        frac = (r[b * 8 + 6, :n] > -0.5).mean()
+        print(f"  bounce {b}: textured fraction {frac:.3f}")
+
+
+if __name__ == "__main__":
+    main()
