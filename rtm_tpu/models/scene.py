@@ -130,6 +130,16 @@ class TracerScene:
     # slicing of the stored order.
     cluster_slices: tuple = field(default=(), metadata=dict(static=True))
 
+    # per-lane traversal tables (ops/pallas/trav_kernel.py): a skip-link
+    # BVH over a SAH leaf cut + material/texture side tables, all shaped
+    # for tpu.dynamic_gather.  Host-built at scene build (data-dependent
+    # structure, not traceable); the diff/editor paths that mutate GEOMETRY
+    # rebuild the scene (runtime/editor.py), while pure material-value
+    # optimization keeps the topology valid.  None when not built;
+    # trav_meta.supported False when the scene exceeds the table limits.
+    trav_arrays: object = None
+    trav_meta: object = field(default=None, metadata=dict(static=True))
+
     @property
     def num_spheres(self) -> int:
         return self.sph_pos.shape[0]
@@ -289,6 +299,17 @@ def build_tracer_scene(scene: Scene, order: str = "bvh",
         sky_np, wrap="clamp",
         dtype=jnp.int32 if quad_exact_u8(sky_np) else jnp.float32)
 
+    # per-lane traversal structure (geometry tables + static meta) for the
+    # trav kernel; material/texture/sphere side tables are traced per
+    # dispatch so they never go stale under value optimization
+    from ..ops.pallas.trav_kernel import build_trav_tables
+    tex_ids_np = np.array([m.texture_id for m in scene.materials],
+                          np.int32) if scene.materials else np.zeros(
+                              (0,), np.int32)
+    tt = build_trav_tables(
+        tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
+        tex_ids_np, mats.count, len(sph_pos))
+
     return TracerScene(
         materials=mats,
         sph_pos=jnp.asarray(sph_pos), sph_radius=jnp.asarray(sph_radius),
@@ -305,4 +326,6 @@ def build_tracer_scene(scene: Scene, order: str = "bvh",
         sky_quads=sky_quads, tex_quads=tex_quads,
         any_textured=any_textured,
         cluster_slices=cluster_slices,
+        trav_arrays=jax.tree.map(jnp.asarray, tt.arrays),
+        trav_meta=tt.meta,
     )

@@ -1,0 +1,1038 @@
+"""Per-LANE BVH traversal path-tracing kernel — the round-3 production
+forward path.
+
+Round 2's fused megakernel sweeps SAH treelet clusters with tile-uniform
+culling; a measured census (scripts/census_schemes.py) shows that cull
+saturating after the first diffuse bounce: every 64-to-512-ray group needs
+essentially the whole scene (1100-1300 of 1856 padded pair tests per
+ray-bounce under every grouping/sorting scheme tried), while a per-ray
+traversal needs ~50-170.  The reference wins with per-thread BVH descent
+(RayTracing/assets/shaders/RayTracing.shader:324-484); this kernel is that
+algorithm on the VPU, one ray per vector LANE:
+
+  * rays live on a full (8, 128) vreg: 1024 rays per grid step, every
+    elementwise op serves all of them;
+  * Mosaic's `tpu.dynamic_gather` (jnp.take_along_axis over one vreg,
+    axis=1) gives each lane its own 128-entry table lookup; tables wider
+    than 128 entries are chunked (one gather per 128-entry chunk + a
+    select) — measured support matrix in scripts/probe_dyngather2.py;
+  * the acceleration structure is a skip-link ("threaded") BVH over a
+    <=K_LEAF-triangle SAH leaf cut (accel/trav.py, built from the same
+    bit-parity binned-SAH hierarchy as the reference's BVH.cpp) —
+    stackless per-lane descent `cur = hit ? cur+1 : skip[cur]` with
+    per-lane best-t box pruning;
+  * traversal runs PHASED: a node phase walks every lane to its next
+    overlapping leaf (lanes park), then a leaf phase tests triangle k of
+    every lane's own leaf for k = 0..K_LEAF-1 (k is loop-uniform, so the
+    16 triangle features are one chunked gather each; lanes mask off past
+    their leaf's count);
+  * the winner's geometry (plane n, a.n) is carried from the test's own
+    registers; its shading normal + material id are gathered on improve
+    (pl.when-gated); material/texture attributes are fetched AFTER the
+    loop from <=128-entry side tables (materials; textured triangles) —
+    no one-hot MXU extraction, no (T', R) work anywhere;
+  * traversal state lives in VMEM scratch refs and the loops carry only a
+    scalar continue flag (Mosaic miscompiles vector-carried conds — the
+    round-2 lesson, megakernel.py `_tri_sweep` docstring).
+
+Everything else — camera jitters, bit-exact PCG RNG, scatter, deferred
+texture/sky records — is the megakernel's logic reshaped to (8, 128); the
+XLA post-pass (megakernel.mega_postpass) is shared unchanged.
+
+Numerics: identical to the megakernel (f32 features, approx-reciprocal
+ordering t with exact plane-equation recovery of the winner, DET_EPS
+backface gate).  Limits: <=1024 BVH nodes, <=512 leaves, <=128 materials,
+<=128 textured triangles, <=128 spheres — render_dispatch falls back to
+the megakernel beyond them (the leaf size adapts to keep scenes <=64k
+triangles inside).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RenderConfig
+from ...models.camera import CameraSpec
+from ..intersect import DET_EPS
+from ..shade import OFFSET
+from .megakernel import (BIG, SEED_STRIDE, TWO_PI, U32, _cross, _dot,
+                         _normalize, _pack_camera, _rand, _safe_inv_dirs,
+                         _select, mega_postpass, slot_to_xy, use_block8)
+
+RAY_TILE = 1024              # rays per grid step: one (8,128) vreg
+MAX_NODES = 1024             # 8 lane chunks
+MAX_LEAVES = 512             # 4 lane chunks
+NO_TEX = 255                 # texslot sentinel in the packed tri info
+
+# triangle feature rows (trav_tri_feat leading axis) — Moller-Trumbore
+# factoring identical to megakernel _F_* plus the shading normal
+_TF_NX, _TF_NY, _TF_NZ, _TF_AN = 0, 1, 2, 3
+_TF_ABX, _TF_ABY, _TF_ABZ = 4, 5, 6
+_TF_ACX, _TF_ACY, _TF_ACZ = 7, 8, 9
+_TF_G1X, _TF_G1Y, _TF_G1Z = 10, 11, 12
+_TF_G2X, _TF_G2Y, _TF_G2Z = 13, 14, 15
+_TF_SNX, _TF_SNY, _TF_SNZ = 16, 17, 18
+TF_ROWS = 19
+
+# material table rows (trav_mat)
+_M_ALR, _M_ALG, _M_ALB = 0, 1, 2
+_M_EMR, _M_EMG, _M_EMB = 3, 4, 5
+_M_EMP, _M_ROUGH, _M_METAL, _M_REFR, _M_TEX = 6, 7, 8, 9, 10
+M_ROWS = 12
+
+# textured-triangle side table rows (trav_tex): local A, AB, AC, uv0..2
+_X_LAX, _X_LAY, _X_LAZ = 0, 1, 2
+_X_ABX, _X_ABY, _X_ABZ = 3, 4, 5
+_X_ACX, _X_ACY, _X_ACZ = 6, 7, 8
+_X_U0, _X_V0, _X_U1, _X_V1, _X_U2, _X_V2 = 9, 10, 11, 12, 13, 14
+X_ROWS = 15
+
+# sphere table rows (trav_sph, replicated VMEM; SMEM twin for the loop)
+_SP_CX, _SP_CY, _SP_CZ, _SP_R = 0, 1, 2, 3
+_SP_ALR, _SP_ALG, _SP_ALB = 4, 5, 6
+_SP_EMR, _SP_EMG, _SP_EMB = 7, 8, 9
+_SP_EMP, _SP_ROUGH, _SP_METAL, _SP_REFR, _SP_TEX = 10, 11, 12, 13, 14
+SP_ROWS = 16
+
+
+class TravArrays(NamedTuple):
+    """GEOMETRY tables for the traversal kernel (a pytree of arrays stored
+    on TracerScene; built host-side at scene build — the structure is
+    data-dependent and cannot be traced).  Material/texture/sphere tables
+    are rebuilt TRACED per dispatch from the live scene fields (so the
+    inverse-rendering path optimizing material values never renders stale
+    tables); only vertex edits require a scene rebuild.
+
+    Gather tables are chunked by 128 entries and replicated across the 8
+    sublanes so a lookup is `take_along_axis(chunk, idx, axis=1)` per
+    chunk (tpu.dynamic_gather semantics: out[s,l] = x[s, idx[s,l]])."""
+
+    node_box: np.ndarray     # (6, NC, 8, 128) f32 lox loy loz hix hiy hiz
+    node_info: np.ndarray    # (NC, 8, 128) i32: skip | (leaf+1)<<10 | cnt<<20
+    tri_feat: np.ndarray     # (TF_ROWS, K, LC, 8, 128) f32
+    tri_info: np.ndarray     # (K, LC, 8, 128) i32: mat | texslot<<8
+
+
+class TravMeta(NamedTuple):
+    """Static (hashable) traversal metadata — a TracerScene static field
+    so kernels can specialize on it under jit."""
+
+    n_nodes: int             # DONE sentinel
+    n_leaves: int
+    leaf_k: int              # K (padded leaf width)
+    n_spheres: int
+    supported: bool          # fits all table limits
+    textured_rows: tuple     # scene triangle rows with a textured material
+
+
+class TravTables(NamedTuple):
+    arrays: TravArrays
+    meta: TravMeta
+
+
+def _chunk_rep(values: np.ndarray, chunk_lanes: int = 128) -> np.ndarray:
+    """(rows..., E) -> (rows..., C, 8, 128) 128-entry chunks replicated
+    across sublanes."""
+    e = values.shape[-1]
+    c = max(1, -(-e // chunk_lanes))
+    pad = c * chunk_lanes - e
+    v = np.pad(values, [(0, 0)] * (values.ndim - 1) + [(0, pad)])
+    v = v.reshape(values.shape[:-1] + (c, 1, chunk_lanes))
+    return np.broadcast_to(
+        v, values.shape[:-1] + (c, 8, chunk_lanes)).copy()
+
+
+def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
+                      mat_texture_id, n_materials: int, n_spheres: int,
+                      max_leaf_tris: int = 16) -> TravTables:
+    """Build the GEOMETRY tables + static meta from host (numpy) arrays.
+    Material/texture/sphere tables are traced per dispatch (see
+    TravArrays docstring)."""
+    from ...accel.trav import build_trav
+
+    t = len(tri_wa)
+    m_cnt = n_materials
+    s_cnt = n_spheres
+
+    # adaptive leaf size keeps the structure inside the table limits
+    k = max_leaf_tris
+    while t > 0 and -(-t // k) > MAX_LEAVES - 8:
+        k *= 2
+
+    if t > 0:
+        trav = build_trav(
+            np.stack([tri_wa, tri_wb, tri_wc], axis=1).astype(np.float32),
+            max_leaf_tris=k)
+        n_nodes, n_leaves = trav.num_nodes, trav.num_leaves
+    else:
+        trav = None
+        n_nodes = n_leaves = 0
+
+    supported = (n_nodes <= MAX_NODES and n_leaves <= MAX_LEAVES
+                 and m_cnt <= 128 and s_cnt <= 128)
+
+    tex_id = np.asarray(mat_texture_id).astype(np.int64)
+    # textured-triangle side table: scene row -> slot (or NO_TEX)
+    textured_rows = (np.nonzero(tex_id[tri_mat] >= 0)[0]
+                     if t > 0 else np.zeros(0, np.int64))
+    if len(textured_rows) > 128:
+        supported = False
+        textured_rows = textured_rows[:128]
+    slot_of_row = np.full(max(t, 1), NO_TEX, np.int64)
+    slot_of_row[textured_rows] = np.arange(len(textured_rows))
+
+    if t > 0 and supported:
+        nc = -(-n_nodes // 128)
+        lc = -(-n_leaves // 128)
+        node_box = np.zeros((6, n_nodes), np.float32)
+        node_box[0:3] = trav.lo.T
+        node_box[3:6] = trav.hi.T
+        leaf1 = trav.leaf_id + 1
+        cnt = np.zeros(n_nodes, np.int64)
+        for nid in range(n_nodes):
+            if trav.leaf_id[nid] >= 0:
+                s, e = trav.slices[trav.leaf_id[nid]]
+                cnt[nid] = e - s
+        info = (trav.skip.astype(np.int64) | (leaf1.astype(np.int64) << 10)
+                | (cnt << 20)).astype(np.int32)
+
+        # per-(k, leaf) triangle tables in BVH order
+        a = tri_wa[trav.order].astype(np.float32)
+        b = tri_wb[trav.order].astype(np.float32)
+        c3 = tri_wc[trav.order].astype(np.float32)
+        nsh = tri_normal[trav.order].astype(np.float32)
+        mat = tri_mat[trav.order].astype(np.int64)
+        slot = slot_of_row[trav.order]
+        ab = b - a
+        ac = c3 - a
+        n = np.cross(ab, ac)
+        an = np.einsum("ij,ij->i", a, n)
+        g1 = np.cross(ac, a)
+        g2 = np.cross(ab, a)
+        feat_t = np.stack([n[:, 0], n[:, 1], n[:, 2], an,
+                           ab[:, 0], ab[:, 1], ab[:, 2],
+                           ac[:, 0], ac[:, 1], ac[:, 2],
+                           g1[:, 0], g1[:, 1], g1[:, 2],
+                           g2[:, 0], g2[:, 1], g2[:, 2],
+                           nsh[:, 0], nsh[:, 1], nsh[:, 2]])  # (TF, T)
+        info_t = (mat | (slot << 8)).astype(np.int32)          # (T,)
+
+        feat_kl = np.zeros((TF_ROWS, k, n_leaves), np.float32)
+        info_kl = np.full((k, n_leaves), NO_TEX << 8, np.int32)
+        for li, (s, e) in enumerate(trav.slices):
+            w = e - s
+            feat_kl[:, :w, li] = feat_t[:, s:e]
+            info_kl[:w, li] = info_t[s:e]
+
+        node_box_r = _chunk_rep(node_box)                   # (6,NC,8,128)
+        node_info_r = _chunk_rep(info[None])[0]             # (NC,8,128)
+        tri_feat_r = _chunk_rep(feat_kl)                    # (TF,K,LC,8,128)
+        tri_info_r = _chunk_rep(info_kl)                    # (K,LC,8,128)
+        assert node_box_r.shape[1] == nc and tri_feat_r.shape[2] == lc
+    else:
+        k = max(k, 1)
+        node_box_r = np.zeros((6, 1, 8, 128), np.float32)
+        node_info_r = np.zeros((1, 8, 128), np.int32)
+        tri_feat_r = np.zeros((TF_ROWS, k, 1, 8, 128), np.float32)
+        tri_info_r = np.full((k, 1, 8, 128), NO_TEX << 8, np.int32)
+
+    return TravTables(
+        TravArrays(node_box_r, node_info_r, tri_feat_r, tri_info_r),
+        TravMeta(n_nodes, n_leaves, k, s_cnt, supported,
+                 tuple(int(r) for r in textured_rows)))
+
+
+# ---------------------------------------------------------------------------
+# Traced side tables (material / texture / sphere values stay LIVE:
+# the inverse-rendering path optimizes them without a scene rebuild)
+# ---------------------------------------------------------------------------
+
+def _rep128(rows):
+    """(R, E<=128) jnp -> (R, 8, 128) sublane-replicated gather table."""
+    r, e = rows.shape
+    v = jnp.pad(rows, ((0, 0), (0, 128 - e)))
+    return jnp.broadcast_to(v[:, None, :], (r, 8, 128))
+
+
+def traced_mat_tab(materials):
+    """(M_ROWS, 8, 128) f32 from the live Materials pytree."""
+    m = materials.albedo.shape[0]
+    rows = jnp.zeros((M_ROWS, m), jnp.float32)
+    rows = rows.at[_M_ALR:_M_ALB + 1].set(materials.albedo.T)
+    rows = rows.at[_M_EMR:_M_EMB + 1].set(materials.emission_color.T)
+    rows = rows.at[_M_EMP].set(materials.emission_power)
+    rows = rows.at[_M_ROUGH].set(materials.roughness)
+    rows = rows.at[_M_METAL].set(materials.metallic)
+    rows = rows.at[_M_REFR].set(materials.refraction_ratio)
+    rows = rows.at[_M_TEX].set(materials.texture_id.astype(jnp.float32))
+    return _rep128(rows)
+
+
+def traced_tex_tab(scene, textured_rows: tuple):
+    """(X_ROWS, 8, 128) f32 uv/local-barycentric side table from the live
+    scene (megakernel textured-block parity: shader:257-268,575-580)."""
+    rows = jnp.zeros((X_ROWS, 128), jnp.float32)
+    if textured_rows:
+        r = jnp.asarray(textured_rows, jnp.int32)
+        w = len(textured_rows)
+        rows = rows.at[_X_LAX:_X_LAZ + 1, :w].set(scene.tri_la[r].T)
+        rows = rows.at[_X_ABX:_X_ABZ + 1, :w].set(scene.tri_lab[r].T)
+        rows = rows.at[_X_ACX:_X_ACZ + 1, :w].set(scene.tri_lac[r].T)
+        uv = scene.tri_uv[r]                                 # (w,3,2)
+        rows = rows.at[_X_U0, :w].set(uv[:, 0, 0])
+        rows = rows.at[_X_V0, :w].set(uv[:, 0, 1])
+        rows = rows.at[_X_U1, :w].set(uv[:, 1, 0])
+        rows = rows.at[_X_V1, :w].set(uv[:, 1, 1])
+        rows = rows.at[_X_U2, :w].set(uv[:, 2, 0])
+        rows = rows.at[_X_V2, :w].set(uv[:, 2, 1])
+    return _rep128(rows)
+
+
+def traced_sph_tabs(scene):
+    """((SP_ROWS,8,128) gather table, (S_pad,16) SMEM twin) from the live
+    scene — padding spheres parked at BIG with r=0 can never hit
+    (megakernel parity)."""
+    s_cnt = scene.sph_pos.shape[0]
+    sp = max(8, -(-max(s_cnt, 1) // 8) * 8)
+    rows = jnp.zeros((SP_ROWS, sp), jnp.float32)
+    rows = rows.at[_SP_CX:_SP_CZ + 1].set(BIG)
+    rows = rows.at[_SP_TEX].set(-1.0)
+    if s_cnt:
+        m = scene.materials
+        sm = scene.sph_mat
+        rows = rows.at[_SP_CX:_SP_CZ + 1, :s_cnt].set(scene.sph_pos.T)
+        rows = rows.at[_SP_R, :s_cnt].set(scene.sph_radius)
+        rows = rows.at[_SP_ALR:_SP_ALB + 1, :s_cnt].set(m.albedo[sm].T)
+        rows = rows.at[_SP_EMR:_SP_EMB + 1, :s_cnt].set(
+            m.emission_color[sm].T)
+        rows = rows.at[_SP_EMP, :s_cnt].set(m.emission_power[sm])
+        rows = rows.at[_SP_ROUGH, :s_cnt].set(m.roughness[sm])
+        rows = rows.at[_SP_METAL, :s_cnt].set(m.metallic[sm])
+        rows = rows.at[_SP_REFR, :s_cnt].set(m.refraction_ratio[sm])
+        rows = rows.at[_SP_TEX, :s_cnt].set(
+            m.texture_id[sm].astype(jnp.float32))
+    return _rep128(rows), rows.T
+
+
+# ---------------------------------------------------------------------------
+# In-kernel chunked per-lane table lookup
+# ---------------------------------------------------------------------------
+
+def _mk_lookup(idx, n_chunks):
+    """Returns lk(get_chunk) -> (8,128) per-lane T[idx] for a table stored
+    as n_chunks (8,128) sublane-replicated 128-entry chunks.
+
+    idx (8,128) i32 in [0, 128*n_chunks).  One tpu.dynamic_gather per
+    chunk + one select; the lane index and chunk masks are shared by every
+    lookup made through the same `lk`."""
+    lane = jnp.bitwise_and(idx, 127)
+    sels = [idx >= (c * 128) for c in range(1, n_chunks)]
+
+    def lk(get_chunk):
+        g = jnp.take_along_axis(get_chunk(0), lane, axis=1)
+        for c in range(1, n_chunks):
+            gc = jnp.take_along_axis(get_chunk(c), lane, axis=1)
+            g = jnp.where(sels[c - 1], gc, g)
+        return g
+
+    return lk
+
+
+def _slab_near8(lox, loy, loz, hix, hiy, hiz, ox, oy, oz,
+                inv_dx, inv_dy, inv_dz):
+    """(8,128) slab entry distance, BIG on miss (megakernel _slab_near)."""
+    t1x = (lox - ox) * inv_dx
+    t2x = (hix - ox) * inv_dx
+    t1y = (loy - oy) * inv_dy
+    t2y = (hiy - oy) * inv_dy
+    t1z = (loz - oz) * inv_dz
+    t2z = (hiz - oz) * inv_dz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z))
+    return _select((tf >= 0.0) & (tn <= tf), tn, BIG)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
+                      have_tris, have_sph, max_bounces, max_frames,
+                      textured, width, height):
+    """Kernel fn closed over all static configuration."""
+    shape = (8, 128)
+    NDONE = max(n_nodes, 1)
+
+    def kernel(*refs):
+        it = iter(refs)
+        camf = next(it)                       # (1,64) f32 SMEM
+        fidx = next(it)                       # (1,1)  u32 SMEM
+        pix0 = next(it)                       # (1,1)  i32 SMEM
+        if have_tris:
+            node_box = next(it)               # (6,NC,8,128) f32
+            node_info = next(it)              # (NC,8,128) i32
+            tri_feat = next(it)               # (TF,K,LC,8,128) f32
+            tri_info = next(it)               # (K,LC,8,128) i32
+        mat_tab = next(it)                    # (M_ROWS,8,128) f32
+        if textured:
+            tex_tab = next(it)                # (X_ROWS,8,128) f32
+        if have_sph:
+            sph_tab = next(it)                # (SP_ROWS,8,128) f32
+            sph_smem = next(it)               # (S_pad,16) f32 SMEM
+        color_ref = next(it)                  # (8,8,128)
+        miss_ref = next(it)                   # (8*F,8,128)
+        rec_ref = next(it) if textured else None   # (8*F*B,8,128)
+        # traversal scratch (vector state in REFS: loops carry only a
+        # scalar flag — Mosaic miscompiles vector-carried conds)
+        cur_r = next(it)                      # (8,128) i32
+        cnt_r = next(it)                      # (8,128) i32
+        leaf_r = next(it)                     # (8,128) i32
+        best_r = next(it)                     # (8,128) f32
+        got_r = next(it)                      # (8,128) i32 (0/1)
+        wfe_r = next(it)                      # (8, 8,128) f32 carried winner
+        #   rows: nx ny nz an snx sny snz (geometric plane + shading normal)
+        winfo_r = next(it)                    # (8,128) i32 mat|texslot<<8
+        nsteps = next(it)                     # (1,1) i32 SMEM stats
+        ksteps = next(it)                     # (1,1) i32 SMEM stats
+
+        if textured:
+            rec_ref[:, :, :] = jnp.zeros(
+                (8 * max_frames * max_bounces,) + shape, jnp.float32)
+            for fb in range(max_frames * max_bounces):
+                rec_ref[fb * 8 + 6] = jnp.full(shape, -1.0, jnp.float32)
+        nsteps[0, 0] = 0
+        ksteps[0, 0] = 0
+
+        def P(i, j):
+            return camf[0, j * 4 + i]
+
+        def V(i, j):
+            return camf[0, 16 + j * 4 + i]
+
+        posx, posy, posz = camf[0, 32], camf[0, 33], camf[0, 34]
+        focus_d, defocus, blur = camf[0, 35], camf[0, 36], camf[0, 37]
+        wf, hf = np.float32(width), np.float32(height)
+        frame_index = fidx[0, 0]
+
+        srow = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lrow = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        base = pl.program_id(0) * RAY_TILE + pix0[0, 0]
+        lin = base + srow * 128 + lrow
+        if use_block8(width, height):
+            xpix, ypix = slot_to_xy(lin, width)
+        else:
+            xpix = lin % width
+            ypix = lin // width
+        lin_u = (ypix * width + xpix).astype(U32)            # shader:697
+
+        # camera basis (shader:684-691) — megakernel parity
+        px = xpix.astype(jnp.float32) / wf
+        py = ypix.astype(jnp.float32) / hf
+        nx_ = 2.0 * px - 1.0
+        ny_ = 2.0 * py - 1.0
+        cx = P(0, 0) * nx_ + P(0, 1) * ny_ + P(0, 2) + P(0, 3)
+        cy = P(1, 0) * nx_ + P(1, 1) * ny_ + P(1, 2) + P(1, 3)
+        cz = P(2, 0) * nx_ + P(2, 1) * ny_ + P(2, 2) + P(2, 3)
+        cw = P(3, 0) * nx_ + P(3, 1) * ny_ + P(3, 2) + P(3, 3)
+        inv_w = 1.0 / cw
+        cx, cy, cz = cx * inv_w, cy * inv_w, cz * inv_w
+        dx0 = (V(0, 0) * cx + V(0, 1) * cy + V(0, 2) * cz) * focus_d
+        dy0 = (V(1, 0) * cx + V(1, 1) * cy + V(1, 2) * cz) * focus_d
+        dz0 = (V(2, 0) * cx + V(2, 1) * cy + V(2, 2) * cz) * focus_d
+        fpx, fpy, fpz = posx + dx0, posy + dy0, posz + dz0
+        rtx, rty, rtz = V(0, 0), V(1, 0), V(2, 0)
+        upx, upy, upz = V(0, 1), V(1, 1), V(2, 1)
+
+        col_r = jnp.zeros(shape, jnp.float32)
+        col_g = jnp.zeros(shape, jnp.float32)
+        col_b = jnp.zeros(shape, jnp.float32)
+
+        def sphere_nearest(ox, oy, oz, dx, dy, dz):
+            """Nearest sphere (shader:486-524): (t, index) via a scalar
+            SMEM loop — padding spheres parked at BIG can never hit."""
+            t_sph = jnp.full(shape, BIG)
+            s_idx = jnp.zeros(shape, jnp.int32)
+            for s in range(n_sph_pad):
+                ocx = ox - sph_smem[s, _SP_CX]
+                ocy = oy - sph_smem[s, _SP_CY]
+                ocz = oz - sph_smem[s, _SP_CZ]
+                rr_ = sph_smem[s, _SP_R]
+                a_q = dx * dx + dy * dy + dz * dz
+                b_q = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                c_q = ocx * ocx + ocy * ocy + ocz * ocz - rr_ * rr_
+                delta = b_q * b_q - 4.0 * a_q * c_q
+                okd = delta >= 0.0
+                tq = (-b_q - jnp.sqrt(_select(okd, delta, 0.0))) \
+                    / (2.0 * a_q)
+                ok = okd & (tq >= 0.0) & (tq < t_sph)
+                t_sph = _select(ok, tq, t_sph)
+                s_idx = _select(ok, jnp.int32(s), s_idx)
+            return t_sph, s_idx
+
+        def traverse(ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, t_init):
+            """Per-lane skip-link descent; results land in the win refs."""
+            best_r[:, :] = t_init
+            got_r[:, :] = jnp.zeros(shape, jnp.int32)
+            cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
+            leaf_r[:, :] = jnp.zeros(shape, jnp.int32)
+            cur_r[:, :] = _select(alive, jnp.int32(0), jnp.int32(NDONE))
+            inv_dx, inv_dy, inv_dz = _safe_inv_dirs(dx, dy, dz)
+
+            def node_body(_):
+                cur = cur_r[:, :]
+                active = (cur < NDONE) & (cnt_r[:, :] == 0)
+                idx = jnp.clip(cur, 0, NDONE - 1)
+                lk = _mk_lookup(idx, nc)
+                info = lk(lambda c: node_info[c])
+                near = _slab_near8(
+                    lk(lambda c: node_box[0, c]),
+                    lk(lambda c: node_box[1, c]),
+                    lk(lambda c: node_box[2, c]),
+                    lk(lambda c: node_box[3, c]),
+                    lk(lambda c: node_box[4, c]),
+                    lk(lambda c: node_box[5, c]),
+                    ox, oy, oz, inv_dx, inv_dy, inv_dz)
+                hit = active & (near < best_r[:, :])
+                skip = info & 0x3FF
+                leaf1 = (info >> 10) & 0x3FF
+                c_ = jax.lax.shift_right_logical(info, 20)
+                is_leaf = leaf1 > 0
+                enter = hit & is_leaf
+                leaf_r[:, :] = _select(enter, leaf1 - 1, leaf_r[:, :])
+                cnt_r[:, :] = _select(enter, c_, cnt_r[:, :])
+                cur_r[:, :] = _select(
+                    active, _select(hit & (~is_leaf), idx + 1, skip), cur)
+                nsteps[0, 0] += 1
+                return jnp.any((cur_r[:, :] < NDONE) & (cnt_r[:, :] == 0))
+
+            def leaf_k_step(k):
+                m = cnt_r[:, :] > k
+                lk = _mk_lookup(jnp.clip(leaf_r[:, :], 0, n_leaves - 1), lc)
+                f = [lk(lambda c, j=j: tri_feat[j, k, c])
+                     for j in range(16)]
+                det = -(dx * f[_TF_NX] + dy * f[_TF_NY] + dz * f[_TF_NZ])
+                tdet = (ox * f[_TF_NX] + oy * f[_TF_NY]
+                        + oz * f[_TF_NZ]) - f[_TF_AN]
+                udet = (wx * f[_TF_ACX] + wy * f[_TF_ACY]
+                        + wz * f[_TF_ACZ]) \
+                    - (dx * f[_TF_G1X] + dy * f[_TF_G1Y] + dz * f[_TF_G1Z])
+                vdet = (dx * f[_TF_G2X] + dy * f[_TF_G2Y]
+                        + dz * f[_TF_G2Z]) \
+                    - (wx * f[_TF_ABX] + wy * f[_TF_ABY] + wz * f[_TF_ABZ])
+                wdet = det - udet - vdet
+                mm = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
+                                 jnp.minimum(jnp.minimum(udet, vdet), wdet))
+                ta = tdet * pl.reciprocal(jnp.maximum(det, DET_EPS),
+                                          approx=True)
+                better = m & (mm >= 0.0) & (ta < best_r[:, :])
+                best_r[:, :] = _select(better, ta, best_r[:, :])
+                got_r[:, :] = got_r[:, :] | better.astype(jnp.int32)
+                ksteps[0, 0] += 1
+
+                @pl.when(jnp.any(better))
+                def _():
+                    wfe_r[0] = _select(better, f[_TF_NX], wfe_r[0])
+                    wfe_r[1] = _select(better, f[_TF_NY], wfe_r[1])
+                    wfe_r[2] = _select(better, f[_TF_NZ], wfe_r[2])
+                    wfe_r[3] = _select(better, f[_TF_AN], wfe_r[3])
+                    wfe_r[4] = _select(better, lk(
+                        lambda c: tri_feat[_TF_SNX, k, c]), wfe_r[4])
+                    wfe_r[5] = _select(better, lk(
+                        lambda c: tri_feat[_TF_SNY, k, c]), wfe_r[5])
+                    wfe_r[6] = _select(better, lk(
+                        lambda c: tri_feat[_TF_SNZ, k, c]), wfe_r[6])
+                    winfo_r[:, :] = _select(
+                        better, lk(lambda c: tri_info[k, c]), winfo_r[:, :])
+
+            def outer_body(_):
+                jax.lax.while_loop(
+                    lambda f_: f_, node_body,
+                    jnp.any((cur_r[:, :] < NDONE) & (cnt_r[:, :] == 0)))
+                for k in range(leaf_k):
+                    @pl.when(jnp.any(cnt_r[:, :] > k))
+                    def _(k=k):
+                        leaf_k_step(k)
+                cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
+                return jnp.any(cur_r[:, :] < NDONE)
+
+            jax.lax.while_loop(lambda f_: f_, outer_body,
+                               jnp.any(cur_r[:, :] < NDONE))
+
+        for frame in range(1, max_frames + 1):
+            seed = lin_u + U32(frame) * frame_index * SEED_STRIDE
+            r1, seed = _rand(seed)
+            ang = r1 * TWO_PI
+            r2, seed = _rand(seed)
+            rad = jnp.sqrt(r2)
+            fjx = jnp.cos(ang) * rad / wf * defocus
+            fjy = jnp.sin(ang) * rad / hf * defocus
+            r3, seed = _rand(seed)
+            ang2 = r3 * TWO_PI
+            r4, seed = _rand(seed)
+            rad2 = jnp.sqrt(r4)
+            djx = jnp.cos(ang2) * rad2 / wf * blur
+            djy = jnp.sin(ang2) * rad2 / hf * blur
+
+            ox = posx + fjx * rtx + fjy * upx
+            oy = posy + fjx * rty + fjy * upy
+            oz = posz + fjx * rtz + fjy * upz
+            tx = fpx + djx * rtx + djy * upx
+            ty = fpy + djx * rty + djy * upy
+            tz = fpz + djx * rtz + djy * upz
+            dx, dy, dz = _normalize(tx - ox, ty - oy, tz - oz)
+
+            ctr_r = jnp.ones(shape, jnp.float32)
+            ctr_g = jnp.ones(shape, jnp.float32)
+            ctr_b = jnp.ones(shape, jnp.float32)
+            alive = jnp.ones(shape, jnp.bool_)
+            m_dx = jnp.zeros(shape, jnp.float32)
+            m_dy = jnp.zeros(shape, jnp.float32)
+            m_dz = jnp.zeros(shape, jnp.float32)
+            m_cr = jnp.zeros(shape, jnp.float32)
+            m_cg = jnp.zeros(shape, jnp.float32)
+            m_cb = jnp.zeros(shape, jnp.float32)
+
+            for b in range(max_bounces):
+                seed = seed + U32(b)                         # shader:659
+
+                if have_sph:
+                    t_sph, s_idx = sphere_nearest(ox, oy, oz, dx, dy, dz)
+                else:
+                    t_sph = jnp.full(shape, BIG)
+                    s_idx = jnp.zeros(shape, jnp.int32)
+
+                if have_tris:
+                    wx, wy, wz = _cross(ox, oy, oz, dx, dy, dz)
+                    winfo_r[:, :] = jnp.full(shape, NO_TEX << 8, jnp.int32)
+                    # sphere wins ties: triangle improve is strict <
+                    traverse(ox, oy, oz, dx, dy, dz, wx, wy, wz, alive,
+                             t_sph)
+                    use_tri = (got_r[:, :] > 0) & alive
+                    # exact hit distance from the winner's plane equation
+                    # (the traversal t was approx-reciprocal, order-only)
+                    gnx, gny, gnz = wfe_r[0], wfe_r[1], wfe_r[2]
+                    gden = -(dx * gnx + dy * gny + dz * gnz)
+                    t_ex = (ox * gnx + oy * gny + oz * gnz - wfe_r[3]) \
+                        / _select(gden == 0.0, jnp.float32(1.0), gden)
+                    t_hit = _select(use_tri, t_ex, t_sph)
+                else:
+                    use_tri = jnp.zeros(shape, jnp.bool_)
+                    t_hit = t_sph
+
+                hit = alive & (t_hit < BIG)
+                t_safe = _select(hit, t_hit, 0.0)
+                hx = ox + t_safe * dx
+                hy = oy + t_safe * dy
+                hz = oz + t_safe * dz
+
+                use_t = use_tri.astype(jnp.float32)
+                use_s = (hit & (~use_tri)).astype(jnp.float32)
+
+                # material attrs: per-lane gathers from <=128-entry tables
+                if have_tris:
+                    mid = winfo_r[:, :] & 0xFF
+                    mlk = _mk_lookup(mid, 1)
+                    t_al_r = mlk(lambda c: mat_tab[_M_ALR])
+                    t_al_g = mlk(lambda c: mat_tab[_M_ALG])
+                    t_al_b = mlk(lambda c: mat_tab[_M_ALB])
+                    t_em_r = mlk(lambda c: mat_tab[_M_EMR])
+                    t_em_g = mlk(lambda c: mat_tab[_M_EMG])
+                    t_em_b = mlk(lambda c: mat_tab[_M_EMB])
+                    t_emp = mlk(lambda c: mat_tab[_M_EMP])
+                    t_rough = mlk(lambda c: mat_tab[_M_ROUGH])
+                    t_metal = mlk(lambda c: mat_tab[_M_METAL])
+                    t_refr = mlk(lambda c: mat_tab[_M_REFR])
+                    t_tex = mlk(lambda c: mat_tab[_M_TEX])
+                else:
+                    zero = jnp.zeros(shape, jnp.float32)
+                    t_al_r = t_al_g = t_al_b = zero
+                    t_em_r = t_em_g = t_em_b = zero
+                    t_emp = t_rough = t_metal = t_refr = zero
+                    t_tex = zero - 1.0
+
+                if have_sph:
+                    slk = _mk_lookup(s_idx, 1)
+                    scx = slk(lambda c: sph_tab[_SP_CX])
+                    scy = slk(lambda c: sph_tab[_SP_CY])
+                    scz = slk(lambda c: sph_tab[_SP_CZ])
+                    s_al_r = slk(lambda c: sph_tab[_SP_ALR])
+                    s_al_g = slk(lambda c: sph_tab[_SP_ALG])
+                    s_al_b = slk(lambda c: sph_tab[_SP_ALB])
+                    s_em_r = slk(lambda c: sph_tab[_SP_EMR])
+                    s_em_g = slk(lambda c: sph_tab[_SP_EMG])
+                    s_em_b = slk(lambda c: sph_tab[_SP_EMB])
+                    s_emp = slk(lambda c: sph_tab[_SP_EMP])
+                    s_rough = slk(lambda c: sph_tab[_SP_ROUGH])
+                    s_metal = slk(lambda c: sph_tab[_SP_METAL])
+                    s_refr = slk(lambda c: sph_tab[_SP_REFR])
+                    s_tex = slk(lambda c: sph_tab[_SP_TEX])
+                    snx, sny, snz = _normalize(hx - scx, hy - scy, hz - scz)
+                else:
+                    zero = jnp.zeros(shape, jnp.float32)
+                    s_al_r = s_al_g = s_al_b = zero
+                    s_em_r = s_em_g = s_em_b = zero
+                    s_emp = s_rough = s_metal = s_refr = zero
+                    s_tex = zero - 1.0
+                    snx = sny = snz = zero
+
+                if have_tris:
+                    nxh = wfe_r[4] * use_t + snx * use_s
+                    nyh = wfe_r[5] * use_t + sny * use_s
+                    nzh = wfe_r[6] * use_t + snz * use_s
+                else:
+                    nxh, nyh, nzh = snx * use_s, sny * use_s, snz * use_s
+
+                alr = t_al_r * use_t + s_al_r * use_s
+                alg = t_al_g * use_t + s_al_g * use_s
+                alb = t_al_b * use_t + s_al_b * use_s
+                emr = t_em_r * use_t + s_em_r * use_s
+                emg = t_em_g * use_t + s_em_g * use_s
+                emb = t_em_b * use_t + s_em_b * use_s
+                emp = t_emp * use_t + s_emp * use_s
+                rough = t_rough * use_t + s_rough * use_s
+                metal = t_metal * use_t + s_metal * use_s
+                refr = t_refr * use_t + s_refr * use_s
+                texid = (t_tex * use_t + s_tex * use_s
+                         + (-1.0) * (1.0 - use_t - use_s))
+
+                live = alive & hit
+                miss_now = alive & (~hit)
+
+                m_dx = _select(miss_now, dx, m_dx)
+                m_dy = _select(miss_now, dy, m_dy)
+                m_dz = _select(miss_now, dz, m_dz)
+                m_cr = _select(miss_now, ctr_r, m_cr)
+                m_cg = _select(miss_now, ctr_g, m_cg)
+                m_cb = _select(miss_now, ctr_b, m_cb)
+
+                if textured:
+                    has_tex = (texid > -0.5) & live
+                    livef = live.astype(jnp.float32)
+                    htf = has_tex.astype(jnp.float32)
+                    s_r = ctr_r * _select(has_tex, emp, emr * emp) * livef
+                    s_g = ctr_g * _select(has_tex, emp, emg * emp) * livef
+                    s_b_ = ctr_b * _select(has_tex, emp, emb * emp) * livef
+                    # uv: space-mixed barycentrics (shader:257-268) from
+                    # the textured-triangle side table (<=128 entries)
+                    if have_tris:
+                        slot = jnp.clip(
+                            jax.lax.shift_right_logical(winfo_r[:, :], 8),
+                            0, 127)
+                        xlk = _mk_lookup(slot, 1)
+                        lax_ = xlk(lambda c: tex_tab[_X_LAX])
+                        lay_ = xlk(lambda c: tex_tab[_X_LAY])
+                        laz_ = xlk(lambda c: tex_tab[_X_LAZ])
+                        abx_ = xlk(lambda c: tex_tab[_X_ABX])
+                        aby_ = xlk(lambda c: tex_tab[_X_ABY])
+                        abz_ = xlk(lambda c: tex_tab[_X_ABZ])
+                        acx_ = xlk(lambda c: tex_tab[_X_ACX])
+                        acy_ = xlk(lambda c: tex_tab[_X_ACY])
+                        acz_ = xlk(lambda c: tex_tab[_X_ACZ])
+                        u0 = xlk(lambda c: tex_tab[_X_U0])
+                        v0 = xlk(lambda c: tex_tab[_X_V0])
+                        u1 = xlk(lambda c: tex_tab[_X_U1])
+                        v1 = xlk(lambda c: tex_tab[_X_V1])
+                        u2 = xlk(lambda c: tex_tab[_X_U2])
+                        v2 = xlk(lambda c: tex_tab[_X_V2])
+                        aox = ox - lax_
+                        aoy = oy - lay_
+                        aoz = oz - laz_
+                        dax, day, daz = _cross(aox, aoy, aoz, dx, dy, dz)
+                        nvx, nvy, nvz = _cross(abx_, aby_, abz_,
+                                               acx_, acy_, acz_)
+                        detl = -(dx * nvx + dy * nvy + dz * nvz)
+                        invl = 1.0 / _select(detl == 0.0,
+                                             jnp.float32(1.0), detl)
+                        ub = (acx_ * dax + acy_ * day + acz_ * daz) * invl
+                        vb = -(abx_ * dax + aby_ * day + abz_ * daz) * invl
+                        wb = 1.0 - ub - vb
+                        uu = u0 * wb + u1 * ub + u2 * vb
+                        vv = v0 * wb + v1 * ub + v2 * vb
+                    else:
+                        uu = vv = jnp.zeros(shape, jnp.float32)
+                    ra = uu * use_t + snx * use_s
+                    rb = vv * use_t + sny * use_s
+                    rc = snz * use_s
+                    row = ((frame - 1) * max_bounces + b) * 8
+                    rec_ref[row + 0] = s_r
+                    rec_ref[row + 1] = s_g
+                    rec_ref[row + 2] = s_b_
+                    rec_ref[row + 3] = ra
+                    rec_ref[row + 4] = rb
+                    rec_ref[row + 5] = rc
+                    rec_ref[row + 6] = _select(has_tex, texid,
+                                               jnp.float32(-1.0))
+                    rec_ref[row + 7] = use_s * htf
+                    keep = 1.0 - livef * (1.0 - htf)
+                    ctr_r = ctr_r * (keep + livef * (1.0 - htf) * alr)
+                    ctr_g = ctr_g * (keep + livef * (1.0 - htf) * alg)
+                    ctr_b = ctr_b * (keep + livef * (1.0 - htf) * alb)
+                else:
+                    livef = live.astype(jnp.float32)
+                    col_r = col_r + emr * emp * ctr_r * livef
+                    col_g = col_g + emg * emp * ctr_g * livef
+                    col_b = col_b + emb * emp * ctr_b * livef
+                    ctr_r = ctr_r * (1.0 - livef + livef * alr)
+                    ctr_g = ctr_g * (1.0 - livef + livef * alg)
+                    ctr_b = ctr_b * (1.0 - livef + livef * alb)
+
+                # ---- scatter (shader:590-649) — megakernel parity -------
+                d_dot_n = _dot(dx, dy, dz, nxh, nyh, nzh)
+                is_refract = refr > 1.0
+                is_front = d_dot_n < 0.0
+                rt = _select(is_front,
+                             1.0 / _select(refr == 0.0,
+                                           jnp.float32(1.0), refr),
+                             refr)
+                hnx = _select(is_front, nxh, -nxh)
+                hny = _select(is_front, nyh, -nyh)
+                hnz = _select(is_front, nzh, -nzh)
+                cos_t = jnp.minimum(-_dot(dx, dy, dz, hnx, hny, hnz), 1.0)
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
+                cannot = rt * sin_t > 1.0
+                r0 = ((1.0 - rt) / (1.0 + rt)) ** 2
+                omc = 1.0 - cos_t
+                r0p = r0 + (1.0 - r0) * omc * omc * omc * omc * omc
+                rr, seed_refr = _rand(seed)
+                do_refl = cannot | (r0p > rr)
+                ddh = _dot(dx, dy, dz, hnx, hny, hnz)
+                rfx = dx - 2.0 * ddh * hnx
+                rfy = dy - 2.0 * ddh * hny
+                rfz = dz - 2.0 * ddh * hnz
+                kk = 1.0 - rt * rt * (1.0 - ddh * ddh)
+                sq = jnp.sqrt(jnp.maximum(kk, 1e-12))
+                rxx = rt * dx - (rt * ddh + sq) * hnx
+                rxy = rt * dy - (rt * ddh + sq) * hny
+                rxz = rt * dz - (rt * ddh + sq) * hnz
+                okk = kk >= 0.0
+                rxx = _select(okk, rxx, 0.0)
+                rxy = _select(okk, rxy, 0.0)
+                rxz = _select(okk, rxz, 0.0)
+                o_rx = _select(do_refl, hx + hnx * OFFSET, hx - hnx * OFFSET)
+                o_ry = _select(do_refl, hy + hny * OFFSET, hy - hny * OFFSET)
+                o_rz = _select(do_refl, hz + hnz * OFFSET, hz - hnz * OFFSET)
+                d_rx = _select(do_refl, rfx, rxx)
+                d_ry = _select(do_refl, rfy, rxy)
+                d_rz = _select(do_refl, rfz, rxz)
+
+                u1_, s1 = _rand(seed)
+                u2_, s2 = _rand(s1)
+                u3_, s3 = _rand(s2)
+                ddx, ddy, ddz = _normalize(nxh + 2.0 * u1_ - 1.0,
+                                           nyh + 2.0 * u2_ - 1.0,
+                                           nzh + 2.0 * u3_ - 1.0)
+                u4_, s4 = _rand(s3)
+                u5_, s5 = _rand(s4)
+                u6_, s6 = _rand(s5)
+                ddn2 = _dot(dx, dy, dz, nxh, nyh, nzh)
+                sp_x = dx - 2.0 * ddn2 * nxh + (2.0 * u4_ - 1.0) * (1.0 - metal)
+                sp_y = dy - 2.0 * ddn2 * nyh + (2.0 * u5_ - 1.0) * (1.0 - metal)
+                sp_z = dz - 2.0 * ddn2 * nzh + (2.0 * u6_ - 1.0) * (1.0 - metal)
+                spx, spy, spz = _normalize(sp_x, sp_y, sp_z)
+                dfx, dfy, dfz = _normalize(
+                    ddx * (1.0 - rough) + spx * rough,
+                    ddy * (1.0 - rough) + spy * rough,
+                    ddz * (1.0 - rough) + spz * rough)
+
+                n_ox = _select(is_refract, o_rx, hx + nxh * OFFSET)
+                n_oy = _select(is_refract, o_ry, hy + nyh * OFFSET)
+                n_oz = _select(is_refract, o_rz, hz + nzh * OFFSET)
+                n_dx = _select(is_refract, d_rx, dfx)
+                n_dy = _select(is_refract, d_ry, dfy)
+                n_dz = _select(is_refract, d_rz, dfz)
+                n_seed = _select(is_refract, seed_refr, s6)
+
+                ox = _select(live, n_ox, ox)
+                oy = _select(live, n_oy, oy)
+                oz = _select(live, n_oz, oz)
+                dx = _select(live, n_dx, dx)
+                dy = _select(live, n_dy, dy)
+                dz = _select(live, n_dz, dz)
+                seed = jnp.where(live, n_seed, seed)
+                alive = live
+
+            frow = (frame - 1) * 8
+            miss_ref[frow + 0] = m_dx
+            miss_ref[frow + 1] = m_dy
+            miss_ref[frow + 2] = m_dz
+            miss_ref[frow + 3] = m_cr
+            miss_ref[frow + 4] = m_cg
+            miss_ref[frow + 5] = m_cb
+            miss_ref[frow + 6] = (
+                (m_dx * m_dx + m_dy * m_dy + m_dz * m_dz) > 0.0
+            ).astype(jnp.float32)
+            miss_ref[frow + 7] = jnp.zeros(shape, jnp.float32)
+
+        color_ref[0] = col_r
+        color_ref[1] = col_g
+        color_ref[2] = col_b
+        # rows 3/4: per-tile traversal counters (node-phase iterations and
+        # leaf-phase k-steps), broadcast per lane — the round-3 work-census
+        # evidence (VERDICT task 1 done-criterion)
+        color_ref[3] = jnp.full(shape, 1.0) * nsteps[0, 0].astype(jnp.float32)
+        color_ref[4] = jnp.full(shape, 1.0) * ksteps[0, 0].astype(jnp.float32)
+        for j in range(5, 8):
+            color_ref[j] = jnp.zeros(shape, jnp.float32)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver: pallas_call + shared XLA post-pass
+# ---------------------------------------------------------------------------
+
+def render_rays_trav(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
+                     pixel_offset, n_rays: int, interpret: bool = False,
+                     skip_postpass: bool = False, with_stats: bool = False):
+    """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) — same
+    contract as megakernel.render_rays_megakernel: returns (n_rays, 3) in
+    slot order (8x8 pixel blocks when aligned, slot_to_xy).
+
+    Requires scene.trav (TravTables with supported=True) — built by
+    models.scene.build_tracer_scene.  with_stats: also return the per-tile
+    (node-phase iterations, leaf k-steps) counters summed over tiles."""
+    w, h = cfg.width, cfg.height
+    n = n_rays
+    n_pad = -(-n // RAY_TILE) * RAY_TILE
+    n_tiles = n_pad // RAY_TILE
+    bounces = cfg.max_bounces
+    frames = cfg.max_frames
+    textured = scene.any_textured
+
+    ta = scene.trav_arrays
+    tm = scene.trav_meta
+    assert ta is not None and tm.supported, "scene unsupported by trav"
+    have_tris = tm.n_nodes > 0
+    have_sph = tm.n_spheres > 0
+
+    camf = _pack_camera(cam)
+    fidx = jnp.asarray(frame_index, jnp.uint32).reshape(1, 1)
+    pix0 = jnp.asarray(pixel_offset, jnp.int32).reshape(1, 1)
+
+    const2 = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 64), const2, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), const2, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), const2, memory_space=pltpu.SMEM),
+    ]
+    inputs = [camf, fidx, pix0]
+
+    def vmem_full(arr):
+        nd = arr.ndim
+        in_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, nd=nd: (0,) * nd, memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(arr))
+
+    nc = lc = 1
+    if have_tris:
+        nc = ta.node_box.shape[1]
+        lc = ta.tri_feat.shape[2]
+        vmem_full(ta.node_box)
+        vmem_full(ta.node_info)
+        vmem_full(ta.tri_feat)
+        vmem_full(ta.tri_info)
+    vmem_full(traced_mat_tab(scene.materials))
+    if textured:
+        vmem_full(traced_tex_tab(scene, tm.textured_rows))
+    n_sph_pad = 0
+    if have_sph:
+        sph_tab, sph_smem = traced_sph_tabs(scene)
+        n_sph_pad = sph_smem.shape[0]
+        vmem_full(sph_tab)
+        in_specs.append(pl.BlockSpec((n_sph_pad, 16), const2,
+                                     memory_space=pltpu.SMEM))
+        inputs.append(sph_smem)
+
+    out_shape = [jax.ShapeDtypeStruct((8, n_tiles * 8, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((8 * frames, n_tiles * 8, 128),
+                                      jnp.float32)]
+    out_specs = [pl.BlockSpec((8, 8, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((8 * frames, 8, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if textured:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (8 * frames * bounces, n_tiles * 8, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((8 * frames * bounces, 8, 128),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = _make_trav_kernel(
+        n_nodes=tm.n_nodes, n_leaves=max(tm.n_leaves, 1),
+        leaf_k=tm.leaf_k, nc=nc, lc=lc,
+        n_sph_pad=n_sph_pad,
+        have_tris=have_tris, have_sph=have_sph,
+        max_bounces=bounces, max_frames=frames, textured=textured,
+        width=w, height=h)
+
+    scratch = [
+        pltpu.VMEM((8, 128), jnp.int32),     # cur
+        pltpu.VMEM((8, 128), jnp.int32),     # cnt
+        pltpu.VMEM((8, 128), jnp.int32),     # leaf
+        pltpu.VMEM((8, 128), jnp.float32),   # best
+        pltpu.VMEM((8, 128), jnp.int32),     # got
+        pltpu.VMEM((8, 8, 128), jnp.float32),  # winner features
+        pltpu.VMEM((8, 128), jnp.int32),     # winfo
+        pltpu.SMEM((1, 1), jnp.int32),       # node-step counter
+        pltpu.SMEM((1, 1), jnp.int32),       # leaf k-step counter
+    ]
+
+    try:
+        cparams = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    except TypeError:                                     # older jax
+        cparams = None
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **({"compiler_params": cparams} if cparams else {}),
+    )(*inputs)
+
+    if textured:
+        main, miss, rec = outs
+        rec = rec.reshape(8 * frames * bounces, n_pad)
+    else:
+        main, miss = outs
+        rec = None
+    main = main.reshape(8, n_pad)
+    miss = miss.reshape(8 * frames, n_pad)
+
+    color = main[0:3, :n].T                              # (N,3)
+    stats = (main[3, ::RAY_TILE], main[4, ::RAY_TILE])   # per-tile counters
+    if skip_postpass:
+        extra = jnp.sum(miss[:1, :1])
+        if rec is not None:
+            extra = extra + jnp.sum(rec[:1, :1])
+        out = color + extra * jnp.float32(1e-30)
+    else:
+        out = mega_postpass(color, miss, rec, scene, cfg, n)
+    if with_stats:
+        return out, stats
+    return out
+
+
+def render_trav(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
+                interpret: bool = False):
+    """Full-frame forward dispatch through the traversal kernel. Returns
+    (H, W, 3) f32 radiance — same contract as render_megakernel."""
+    from .megakernel import slots_to_image
+    color = render_rays_trav(
+        scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
+        n_rays=cfg.width * cfg.height, interpret=interpret)
+    if use_block8(cfg.width, cfg.height):
+        return slots_to_image(color, cfg.width, cfg.height)
+    return color.reshape(cfg.height, cfg.width, 3)

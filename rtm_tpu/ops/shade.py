@@ -129,8 +129,10 @@ def quad_exact_u8(img) -> bool:
         return True
     if v.min() < 0.0 or v.max() > 1.0:
         return False
-    s = v * np.float32(255.0)
-    return bool(np.max(np.abs(s - np.round(s))) < 1e-3)
+    # exact round-trip test, not a tolerance: a float texture whose values
+    # merely sit NEAR the byte grid must keep the f32 table (advisor r2)
+    q = np.round(v * np.float32(255.0)) * np.float32(1.0 / 255.0)
+    return bool(np.array_equal(q.astype(np.float32), v))
 
 
 def sample_quads(flat_quads, h, w, u, v, wrap: str, base=0, row_w=None):
@@ -202,12 +204,18 @@ def sample_texture_quads(tex_quads, tex_size, th, tw, tex_id, u, v):
     # per-lane (H,W) extents WITHOUT a per-lane gather: tex_size[tid] is a
     # second 2.1M-row latency-bound gather right next to the texel tap
     # (measured ~half the texture post-pass); K is tiny, so K broadcasted
-    # selects build the same extents on the VPU for free
-    hh = jnp.full(tid.shape, tex_size[0, 0])
-    ww = jnp.full(tid.shape, tex_size[0, 1])
-    for i in range(1, k):
-        hh = jnp.where(tid == i, tex_size[i, 0], hh)
-        ww = jnp.where(tid == i, tex_size[i, 1], ww)
+    # selects build the same extents on the VPU for free.  Above a small K
+    # the K full-lane select chain stops being free (cost grows linearly
+    # with texture count) — fall back to the single gather there.
+    if k <= 16:
+        hh = jnp.full(tid.shape, tex_size[0, 0])
+        ww = jnp.full(tid.shape, tex_size[0, 1])
+        for i in range(1, k):
+            hh = jnp.where(tid == i, tex_size[i, 0], hh)
+            ww = jnp.where(tid == i, tex_size[i, 1], ww)
+    else:
+        hw = jnp.take(tex_size, tid, axis=0)
+        hh, ww = hw[..., 0], hw[..., 1]
     return sample_quads(tex_quads, hh, ww, u, v,
                         wrap="repeat", base=tid * (th * tw), row_w=tw)
 

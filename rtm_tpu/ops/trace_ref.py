@@ -279,11 +279,23 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
     frame_index: traced uint32 scalar (1-based accumulation counter).
     backend: 'xla' | 'pallas' | 'pallas_interpret' (see bounce_payload) |
     'megakernel' | 'megakernel_interpret' (fully-fused forward path) |
-    'wavefront' | 'wavefront_interpret' (per-bounce kernel with sorted ray
-    stream); the fused/wavefront paths fall back to the XLA path for the
-    MaxBounces==1 flat-shade preview mode.
+    'wavefront2' | 'wavefront2_interpret' (sorted wavefront: slim sweep
+    kernel + XLA shading — the differentiable production path); the
+    fused/wavefront paths fall back to the XLA path for the MaxBounces==1
+    flat-shade preview mode.  (The round-1 per-bounce Pallas-shading
+    'wavefront' backend was retired in round 3: three synchronized copies
+    of the bounce semantics were maintenance drag with no production
+    role; its per-bounce-kernel idea lives on in wavefront2.)
     Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples.
     """
+    if backend.startswith("trav") and cfg.max_bounces > 1:
+        tm = scene.trav_meta
+        if tm is not None and tm.supported:
+            from .pallas.trav_kernel import render_trav
+            return render_trav(scene, cam, frame_index, cfg,
+                               interpret=(backend == "trav_interpret"))
+        backend = ("megakernel_interpret"          # table-limit fallback
+                   if backend.endswith("_interpret") else "megakernel")
     if backend.startswith("megakernel") and cfg.max_bounces > 1:
         from .pallas.megakernel import render_megakernel
         return render_megakernel(
@@ -294,12 +306,7 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
         return render_wavefront2(
             scene, cam, frame_index, cfg,
             interpret=(backend == "wavefront2_interpret"))
-    if backend.startswith("wavefront") and cfg.max_bounces > 1:
-        from .pallas.wavefront import render_wavefront
-        return render_wavefront(
-            scene, cam, frame_index, cfg,
-            interpret=(backend == "wavefront_interpret"))
-    if backend.startswith(("megakernel", "wavefront")):
+    if backend.startswith(("megakernel", "wavefront", "trav")):
         backend = "xla"                      # flat-shade preview fallback
     x, y = pixel_grid(cfg.width, cfg.height)
     incoming = render_pixels(scene, cam, x, y, frame_index, cfg, chunk,

@@ -80,10 +80,8 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
         # dispatch-slot band (same kernel, per-band offset; slots walk 8x8
         # pixel blocks — megakernel.slot_to_xy); the wavefront variants
         # sort their own band locally — zero cross-device collectives
-        if backend.startswith("wavefront2"):
+        if backend.startswith("wavefront"):
             from ..ops.wavefront2 import render_rays_wavefront2 as rr
-        elif backend.startswith("wavefront"):
-            from ..ops.pallas.wavefront import render_rays_wavefront as rr
         else:
             from ..ops.pallas.megakernel import render_rays_megakernel as rr
         from ..ops.pallas.megakernel import slots_to_image, use_block8

@@ -31,7 +31,7 @@ def main() -> None:
     spp = int(os.environ.get("RTM_BENCH_SPP", 1))
     scene_id = int(os.environ.get("RTM_BENCH_SCENE", 3))
     repeats = int(os.environ.get("RTM_BENCH_REPEATS", 20))
-    backends = sys.argv[1:] or ["wavefront", "megakernel"]
+    backends = sys.argv[1:] or ["wavefront2", "megakernel"]
 
     from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
     from rtm_tpu.ops.trace_ref import render_dispatch

@@ -79,7 +79,16 @@ def main():
         bot = texels[2] * (1.0 - fx) + texels[3] * fx
         return (top * (1.0 - fy) + bot * fy).sum()
 
-    bench("f32x16 rows (64B)", f32_tap, tab_f32[:, :12], idx, fx, fy)
+    # index the 12 used lanes INSIDE the jit so the gather really reads
+    # 64B-stride rows (an eager tab[:, :12] slice would materialize a
+    # compact 48B-row copy and benchmark the f32x12 case twice)
+    def f32x16_tap(tab, idx, fx, fy):
+        q = jnp.take(tab, idx, axis=0)
+        top = q[:, 0:3] * (1.0 - fx) + q[:, 3:6] * fx
+        bot = q[:, 6:9] * (1.0 - fx) + q[:, 9:12] * fx
+        return (top * (1.0 - fy) + bot * fy).sum()
+
+    bench("f32x16 rows (64B)", f32x16_tap, tab_f32, idx, fx, fy)
     bench("f32x12 rows (48B)", f32_tap, tab_f32_12, idx, fx, fy)
     bench("i32x4 rows (16B, packed)", i32_tap, tab_i32, idx, fx, fy)
     bench("u8x16 rows (16B)", u8_tap, tab_u8, idx, fx, fy)

@@ -125,11 +125,11 @@ def test_render_sharded_megakernel_matches(setup, image_compare):
 
 
 def test_render_sharded_wavefront_matches(setup, image_compare):
-    """Sharded wavefront bands (per-device sort + pixel offsets) ==
+    """Sharded wavefront2 bands (per-device sort + pixel offsets) ==
     full-frame; the per-band sorting must not leak across devices."""
     scene, cam = setup
     mesh = make_mesh(4)
     ref = render_dispatch(scene, cam, jnp.uint32(1), CFG, backend="xla")
     out = render_sharded(scene, cam, jnp.uint32(1), CFG, mesh,
-                         backend="wavefront_interpret")
+                         backend="wavefront2_interpret")
     image_compare(np.asarray(ref), np.asarray(out))

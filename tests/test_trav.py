@@ -1,0 +1,108 @@
+"""Traversal-BVH structure invariants + skip-link traversal correctness
+(accel/trav.py) — the acceleration structure of the per-lane kernel."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rtm_tpu.accel.trav import BIG, TravBVH, build_trav, traverse_ref
+from rtm_tpu.models.scenes import load_scene
+
+
+def _world_tris(scene):
+    parts = []
+    for inst in scene.objects:
+        mesh = scene.meshes[inst.mesh_id]
+        m = inst.model_matrix()
+        v = mesh.verts.astype(np.float64)
+        parts.append((v @ m[:3, :3].T + m[:3, 3]).astype(np.float32))
+    return np.concatenate(parts) if parts else np.zeros((0, 3, 3), np.float32)
+
+
+@pytest.fixture(scope="module")
+def scene3_trav():
+    verts = _world_tris(load_scene(3))
+    trav = build_trav(verts, max_leaf_tris=16)
+    return verts, trav
+
+
+def test_structure_invariants(scene3_trav):
+    verts, trav = scene3_trav
+    t = len(verts)
+    n = trav.num_nodes
+    # slices tile [0, T) and are <= max size
+    ss = sorted(trav.slices)
+    assert ss[0][0] == 0 and ss[-1][1] == t
+    assert all(a[1] == b[0] for a, b in zip(ss, ss[1:]))
+    assert max(e - s for s, e in trav.slices) <= 16
+    # skip links: strictly forward, within bounds, and DFS-consistent —
+    # node n's subtree is exactly [n, skip[n])
+    assert np.all(trav.skip > np.arange(n))
+    assert np.all(trav.skip <= n)
+    # every leaf box contains its triangles (in BVH order)
+    v = verts[trav.order]
+    for nid in range(n):
+        li = trav.leaf_id[nid]
+        if li >= 0:
+            s, e = trav.slices[li]
+            seg = v[s:e].reshape(-1, 3)
+            assert np.all(seg.min(0) >= trav.lo[nid] - 1e-4)
+            assert np.all(seg.max(0) <= trav.hi[nid] + 1e-4)
+    # root box contains everything
+    assert np.all(v.reshape(-1, 3).min(0) >= trav.lo[0] - 1e-4)
+    assert np.all(v.reshape(-1, 3).max(0) <= trav.hi[0] + 1e-4)
+
+
+def _brute(verts, o, d):
+    """First-min-wins brute force in the same arithmetic as traverse_ref."""
+    from rtm_tpu.ops.intersect import DET_EPS
+    best, best_i = float(BIG), -1
+    for ti, (a, b, c) in enumerate(verts):
+        ab, ac = b - a, c - a
+        nrm = np.cross(ab, ac)
+        det = -np.dot(d, nrm)
+        if det < DET_EPS:
+            continue
+        ao = o - a
+        dao = np.cross(ao, d)
+        u = np.dot(ac, dao)
+        vv = -np.dot(ab, dao)
+        tt = np.dot(ao, nrm)
+        if u < 0 or vv < 0 or tt < 0 or det - u - vv < 0:
+            continue
+        tval = tt / det
+        if tval < best:
+            best, best_i = tval, ti
+    return best, best_i
+
+
+def test_traversal_matches_brute_force(scene3_trav):
+    verts, trav = scene3_trav
+    v = verts[trav.order].astype(np.float64)
+    rng = np.random.default_rng(7)
+    # rays from inside the Cornell box, random directions
+    for _ in range(64):
+        o = rng.uniform([-2.5, 0.5, -4.5], [2.5, 5.5, 0.5])
+        d = rng.standard_normal(3)
+        d /= np.linalg.norm(d)
+        t_ref, i_ref = _brute(v, o, d)
+        t_got, i_got, leaves, nodes = traverse_ref(trav, v, o, d)
+        assert i_got == i_ref, (i_got, i_ref, t_got, t_ref)
+        if i_ref >= 0:
+            assert t_got == pytest.approx(t_ref, rel=1e-6)
+        assert leaves <= trav.num_leaves
+        assert nodes <= trav.num_nodes
+
+
+def test_traversal_prunes(scene3_trav):
+    """t-pruning: with a tight init_t the traversal visits fewer leaves."""
+    verts, trav = scene3_trav
+    v = verts[trav.order].astype(np.float64)
+    o = np.array([0.0, 3.0, -1.0])
+    d = np.array([0.1, -0.7, -0.7])
+    d /= np.linalg.norm(d)
+    t_full, i_full, leaves_full, _ = traverse_ref(trav, v, o, d)
+    _, i_tight, leaves_tight, _ = traverse_ref(trav, v, o, d,
+                                               init_t=t_full * 1.001)
+    assert i_tight == i_full
+    assert leaves_tight <= leaves_full
