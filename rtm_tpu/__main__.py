@@ -41,6 +41,10 @@ def _add_render_args(p):
                         "RayTracing.cpp:130-133): 1 = cluster-passes "
                         "heatmap (cull effectiveness, the analog of the "
                         "shader's BVH-depth views)")
+    p.add_argument("--env", default="map", choices=("map", "sun"),
+                   help="environment model: equirect sky map, or the "
+                        "legacy kernel's procedural sun/sky "
+                        "(OldRayTracing.shader:119-136)")
     p.add_argument("--check-nans", action="store_true",
                    help="numeric validation layer (SURVEY §5.2): checkify "
                         "float_checks on the XLA graph + finite output "
@@ -68,7 +72,7 @@ def _setup(args, want_host_scene: bool = False):
             cam = file_cam
     else:
         host = load_scene(args.scene)
-    scene = build_tracer_scene(host)
+    scene = build_tracer_scene(host, env_model=getattr(args, "env", "map"))
     if want_host_scene:
         return scene, cam, cfg, backend, host
     return scene, cam, cfg, backend

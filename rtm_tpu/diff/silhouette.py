@@ -37,7 +37,7 @@ from ..models.camera import CameraSpec
 from ..models.scene import TracerScene
 from ..ops import rng
 from ..ops.intersect import dot3, nearest_sphere, normalize
-from ..ops.shade import sky_color_quads
+from ..ops.shade import env_radiance
 from ..ops.trace_ref import _gather, camera_ray_basis, render_pixels
 
 
@@ -114,7 +114,6 @@ def render_soft_primary(scene: TracerScene, cam: CameraSpec, x, y,
     origin = jnp.broadcast_to(position[None, :], direction.shape)
     alpha = primary_soft_alpha(scene, origin, direction, tau)
 
-    sky = sky_color_quads(direction, scene.sky_quads,
-                          scene.sky.shape[0], scene.sky.shape[1])
+    sky = env_radiance(scene, direction)
     draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
     return alpha[:, None] * img + (1.0 - alpha[:, None]) * sky * draw_env

@@ -140,6 +140,11 @@ class TracerScene:
     trav_arrays: object = None
     trav_meta: object = field(default=None, metadata=dict(static=True))
 
+    # environment model: False = equirect sky map (shader:216-218); True =
+    # the legacy kernel's procedural sun/sky (OldRayTracing.shader:119-136,
+    # ops/shade.py procedural_sun_sky) — C28 parity option
+    env_sun: bool = field(default=False, metadata=dict(static=True))
+
     @property
     def num_spheres(self) -> int:
         return self.sph_pos.shape[0]
@@ -216,7 +221,8 @@ def _morton_order(wa: np.ndarray, wb: np.ndarray, wc: np.ndarray):
 
 
 def build_tracer_scene(scene: Scene, order: str = "bvh",
-                       cluster_max_tris: int = 128) -> TracerScene:
+                       cluster_max_tris: int = 128,
+                       env_model: str = "map") -> TracerScene:
     """Flatten the host scene into the device layout (SceneWrapper parity).
 
     order: 'bvh' (default — SAH-BVH treelet cut, accel/clusters.py: the
@@ -328,4 +334,5 @@ def build_tracer_scene(scene: Scene, order: str = "bvh",
         cluster_slices=cluster_slices,
         trav_arrays=jax.tree.map(jnp.asarray, tt.arrays),
         trav_meta=tt.meta,
+        env_sun=(env_model == "sun"),
     )

@@ -57,7 +57,7 @@ from ...config import RenderConfig
 from ...models.camera import CameraSpec
 from ...models.scene import TracerScene
 from ..intersect import DET_EPS
-from ..shade import OFFSET, sample_texture_quads, sky_color_quads
+from ..shade import OFFSET, env_radiance, sample_texture_quads
 
 U32 = jnp.uint32
 BIG = np.float32(1e30)          # in-kernel "miss" sentinel (< FLT_MAX to keep
@@ -293,6 +293,14 @@ def pixel_to_slot(p, width: int):
     x = p % width
     y = p // width
     return ((y // 8) * (width // 8) + x // 8) * 64 + (y % 8) * 8 + x % 8
+
+
+def image_to_slots(img, width: int, height: int):
+    """(H, W, C) row-major -> (W*H, C) slot order — exact inverse of
+    slots_to_image (same reshape/transpose, no gather)."""
+    c = img.shape[-1]
+    v = img.reshape(height // 8, 8, width // 8, 8, c)
+    return v.transpose(0, 2, 1, 3, 4).reshape(width * height, c)
 
 
 def slots_to_image(color, width: int, height: int):
@@ -1247,8 +1255,7 @@ def mega_postpass(color, miss, rec, scene: TracerScene, cfg: RenderConfig,
         mmask = miss[frow + 6, :n] > 0.5
         mdir = jnp.where(mmask[:, None], mdir,
                          jnp.array([1.0, 0.0, 0.0], jnp.float32))
-        sky_rgb = sky_color_quads(mdir, scene.sky_quads,
-                                  scene.sky.shape[0], scene.sky.shape[1])
+        sky_rgb = env_radiance(scene, mdir)
         sky_term = mctr * sky_rgb * draw_env
         if textured:
             sky_term = sky_term * pt

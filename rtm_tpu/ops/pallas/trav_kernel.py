@@ -65,6 +65,13 @@ from .megakernel import (BIG, SEED_STRIDE, TWO_PI, U32, _cross, _dot,
                          _select, mega_postpass, slot_to_xy, use_block8)
 
 RAY_TILE = 1024              # rays per grid step: one (8,128) vreg
+# Every vector->scalar while-cond costs a VPU pipeline drain (measured
+# ~0.5-1us, scripts/probe_loop_cost.py + trav_bench iteration math), so
+# the node phase runs as FIXED bursts with no inner cond: lanes that park
+# early idle (masked) inside the burst; lanes still walking after it get
+# picked up by the next round's burst.  Correct for any burst size — it
+# only shifts work between rounds.
+NODE_BURST = 12              # node steps per round, cond-free
 MAX_NODES = 1024             # 8 lane chunks
 MAX_LEAVES = 512             # 4 lane chunks
 NO_TEX = 255                 # texslot sentinel in the packed tri info
@@ -159,19 +166,26 @@ def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
     m_cnt = n_materials
     s_cnt = n_spheres
 
-    # adaptive leaf size keeps the structure inside the table limits
+    # adaptive leaf size: prefer <=128 leaves (single-gather triangle
+    # tables) and <=256 nodes (2-chunk node fetch); grow the leaf until
+    # the structure fits, hard-capped by MAX_LEAVES/MAX_NODES
     k = max_leaf_tris
-    while t > 0 and -(-t // k) > MAX_LEAVES - 8:
-        k *= 2
-
+    trav = None
+    n_nodes = n_leaves = 0
     if t > 0:
-        trav = build_trav(
-            np.stack([tri_wa, tri_wb, tri_wc], axis=1).astype(np.float32),
-            max_leaf_tris=k)
-        n_nodes, n_leaves = trav.num_nodes, trav.num_leaves
-    else:
-        trav = None
-        n_nodes = n_leaves = 0
+        verts = np.stack([tri_wa, tri_wb, tri_wc],
+                         axis=1).astype(np.float32)
+        while True:
+            trav = build_trav(verts, max_leaf_tris=k)
+            n_nodes, n_leaves = trav.num_nodes, trav.num_leaves
+            if (n_leaves <= 128 and n_nodes <= 256) or k >= 256:
+                break
+            k += 8
+        # beyond ~32k tris accept chunked tables rather than huge leaves
+        while n_leaves > MAX_LEAVES - 8:
+            k *= 2
+            trav = build_trav(verts, max_leaf_tris=k)
+            n_nodes, n_leaves = trav.num_nodes, trav.num_leaves
 
     supported = (n_nodes <= MAX_NODES and n_leaves <= MAX_LEAVES
                  and m_cnt <= 128 and s_cnt <= 128)
@@ -487,7 +501,7 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
             cur_r[:, :] = _select(alive, jnp.int32(0), jnp.int32(NDONE))
             inv_dx, inv_dy, inv_dz = _safe_inv_dirs(dx, dy, dz)
 
-            def node_body(_):
+            def node_step():
                 cur = cur_r[:, :]
                 active = (cur < NDONE) & (cnt_r[:, :] == 0)
                 idx = jnp.clip(cur, 0, NDONE - 1)
@@ -512,9 +526,15 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                 cur_r[:, :] = _select(
                     active, _select(hit & (~is_leaf), idx + 1, skip), cur)
                 nsteps[0, 0] += 1
-                return jnp.any((cur_r[:, :] < NDONE) & (cnt_r[:, :] == 0))
+
+            def node_burst(_):
+                for _ in range(NODE_BURST):
+                    node_step()
+                return 0
 
             def leaf_k_step(k):
+                # k is a TRACED loop index: tri_feat's K axis is a leading
+                # (untiled) ref dim, so [j, k, c] is a dynamic-address read
                 m = cnt_r[:, :] > k
                 lk = _mk_lookup(jnp.clip(leaf_r[:, :], 0, n_leaves - 1), lc)
                 f = [lk(lambda c, j=j: tri_feat[j, k, c])
@@ -554,13 +574,15 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                         better, lk(lambda c: tri_info[k, c]), winfo_r[:, :])
 
             def outer_body(_):
-                jax.lax.while_loop(
-                    lambda f_: f_, node_body,
-                    jnp.any((cur_r[:, :] < NDONE) & (cnt_r[:, :] == 0)))
-                for k in range(leaf_k):
-                    @pl.when(jnp.any(cnt_r[:, :] > k))
-                    def _(k=k):
-                        leaf_k_step(k)
+                node_burst(0)
+                # leaf phase: dynamic trip = largest parked leaf this round
+                kmax = jnp.max(cnt_r[:, :])
+
+                def k_body(k, _):
+                    leaf_k_step(k)
+                    return 0
+
+                jax.lax.fori_loop(0, kmax, k_body, 0)
                 cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
                 return jnp.any(cur_r[:, :] < NDONE)
 

@@ -349,3 +349,47 @@ def flat_shade(albedo, normal):
     resolves to min(0.5, dot(-N, L)); preserved exactly."""
     d = dot3(-normal, jnp.asarray(FLAT_LIGHT_DIR))
     return albedo * (jnp.minimum(jnp.float32(0.5), d) + 0.5)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Procedural sun/sky environment (C28 parity)
+# ---------------------------------------------------------------------------
+
+SUN_DIR = np.array([1.0, 1.0, 1.0], np.float32) / np.float32(np.sqrt(3.0))
+_GROUND = np.array([0.3, 0.3, 0.3], np.float32)
+_ZENITH = np.array([0.5, 0.7, 1.0], np.float32)
+_HORIZON = np.array([0.6, 0.4, 0.4], np.float32)
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def procedural_sun_sky(direction):
+    """The legacy kernel's procedural environment, exactly
+    (OldRayTracing.shader:119-136): horizon->zenith gradient over a ground
+    color with a pow-500 sun disk along -LightDir = (1,1,1)/sqrt(3); the
+    sun only shows where groundToSky saturates (d.y >= 0).
+
+    direction (...,3) -> (...,3); selectable via
+    build_tracer_scene(env_model="sun")."""
+    dy = direction[..., 1]
+    sky_lerp = _smoothstep(0.0, 0.4, dy) ** np.float32(0.35)
+    ground_to_sky = _smoothstep(-0.01, 0.0, dy)
+    grad = (_HORIZON[None] + (_ZENITH - _HORIZON)[None]
+            * sky_lerp[..., None])
+    sun = jnp.maximum(
+        0.0, direction @ jnp.asarray(SUN_DIR)) ** 500.0 * 100.0
+    col = (_GROUND[None] + (grad - _GROUND[None])
+           * ground_to_sky[..., None])
+    return col + (sun * (ground_to_sky >= 1.0))[..., None]
+
+
+def env_radiance(scene, direction):
+    """Environment lookup at miss (shader:663-666): the scene's equirect
+    sky map, or the procedural sun/sky when the scene selects it."""
+    if getattr(scene, "env_sun", False):
+        return procedural_sun_sky(direction)
+    return sky_color_quads(direction, scene.sky_quads,
+                           scene.sky.shape[0], scene.sky.shape[1])

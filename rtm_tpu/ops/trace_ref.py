@@ -27,7 +27,7 @@ from . import rng
 from .intersect import (FLT_MAX, TriFeatures, _mm, dot3, nearest_sphere,
                         nearest_triangle, normalize, safe_normalize)
 from .shade import (flat_shade, sample_texture_quads, scatter,
-                    sky_color_quads, sphere_uv)
+                    env_radiance, sphere_uv)
 
 
 def pixel_grid(width: int, height: int):
@@ -172,8 +172,7 @@ def shade_bounce(scene: TracerScene, cfg: RenderConfig, draw_env,
     miss_now = alive & ~p["hit"]
     d_sky = jnp.where(miss_now[:, None], d,
                       jnp.array([1.0, 0.0, 0.0], jnp.float32))
-    sky = sky_color_quads(d_sky, scene.sky_quads,
-                          scene.sky.shape[0], scene.sky.shape[1])
+    sky = env_radiance(scene, d_sky)
     color = jnp.where(miss_now[:, None],
                       color + sky * contrib * draw_env, color)
 

@@ -162,13 +162,57 @@ def sharded_loss_and_grad(params: SceneParams, scene: TracerScene,
     loss = mean over (H*W*3) of squared error.
     """
     n_dev = mesh.shape[DP_AXIS]
+    frame_index = jnp.asarray(frame_index, jnp.uint32)
+    n = cfg.num_pixels
+    denom = jnp.float32(n * 3)
+
+    if backend.startswith("wavefront2") and cfg.max_bounces > 1:
+        # the differentiable fast path: per-device slot bands through the
+        # sorted-wavefront renderer (detached-argmin sweep custom-vjp)
+        from ..ops.pallas.megakernel import image_to_slots, use_block8
+        from ..ops.wavefront2 import render_rays_wavefront2
+        band = -(-n // n_dev)
+        if use_block8(cfg.width, cfg.height):
+            tgt = image_to_slots(target, cfg.width, cfg.height)
+        else:
+            tgt = target.reshape(-1, 3)
+        pad = band * n_dev - n
+        if pad:
+            tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), jnp.float32)])
+        mask = (jnp.arange(band * n_dev) < n).astype(jnp.float32)
+
+        # check_vma=False is needed for the sweep pallas_call (its
+        # out_shape carries no varying-mesh annotation), and under it the
+        # psum-inside-grad pattern miscounts replicated-param cotangents
+        # (measured x n_dev) — so each device differentiates only its OWN
+        # band's partial loss and the (loss, grads) are summed outside;
+        # XLA lowers those sums to the same single ICI all-reduce.
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(), P(DP_AXIS), P(DP_AXIS), P()),
+                 out_specs=(P(DP_AXIS), P(DP_AXIS)), check_vma=False)
+        def shard_wf(params, scene, cam, t, m, fi):
+            rank = jax.lax.axis_index(DP_AXIS)
+
+            def local_loss(p):
+                full = apply_params(scene, p, rebuild_tri_geometry)
+                img = render_rays_wavefront2(
+                    full, cam, fi, cfg, pixel_offset=rank * band,
+                    n_rays=band,
+                    interpret=backend.endswith("_interpret"))
+                return jnp.sum(m[:, None] * (img - t) ** 2) / denom
+
+            l, g = jax.value_and_grad(local_loss)(params)
+            return (l[None], jax.tree.map(lambda x: x[None], g))
+
+        losses, grads = shard_wf(params, scene, cam, tgt, mask, frame_index)
+        return (jnp.sum(losses),
+                jax.tree.map(lambda x: jnp.sum(x, axis=0), grads))
+
     x, y, mask, n = _padded_grid(cfg, n_dev)
     tgt = target.reshape(-1, 3)
     pad = x.shape[0] - n
     if pad:
         tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), jnp.float32)])
-    frame_index = jnp.asarray(frame_index, jnp.uint32)
-    denom = jnp.float32(n * 3)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS),

@@ -1,0 +1,112 @@
+"""fwd+bwd throughput at the headline config (BASELINE.md row 2).
+
+Times jax.value_and_grad of the pixel-L2 loss through the differentiable
+production path (wavefront2: slim Pallas sweep oracle + XLA shading,
+detached hit topology) and the forward-only pass, on the current device.
+Emits JSON lines and writes BENCH_GRAD_r{N}.json when RTM_BENCH_ROUND is
+set.  Includes a speed-of-light note: the backward bounce scan re-runs the
+sweep per bounce (remat) and adds gather-transposes (scatter-adds) for
+every texture/sky tap — the measured fwd:bwd ratio is the honest
+remat+scatter overhead.
+
+Run: python scripts/bench_grad.py [res] [bounces]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("RTM_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["RTM_BENCH_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir", "/tmp/rtm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene  # noqa: E402
+from rtm_tpu.diff.inverse import loss_and_grad, render_loss  # noqa: E402
+from rtm_tpu.diff.params import extract_params  # noqa: E402
+from rtm_tpu.ops.trace_ref import render_dispatch  # noqa: E402
+
+
+def timeit(f, *args, reps=8):
+    t0 = time.perf_counter()
+    out = f(*args)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    comp = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*args)
+    jax.block_until_ready(out)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / reps, comp
+
+
+def main():
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    bounces = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    backend = os.environ.get("RTM_BENCH_BACKEND", "wavefront2")
+    cfg = RenderConfig(width=res, height=res, max_bounces=bounces,
+                       max_frames=1, draw_environment=True)
+    cam = Camera().spec(res, res)
+    scene = build_tracer_scene(load_scene(3))
+    params = extract_params(scene)
+    target = jnp.full((res, res, 3), 0.3, jnp.float32)
+    rays = res * res * bounces
+
+    rows = []
+
+    def emit(name, dt, comp):
+        row = {"metric": name, "ms": round(dt * 1e3, 2),
+               "grays_per_s": round(rays / dt / 1e9, 4),
+               "compile_s": round(comp, 1), "backend": backend,
+               "config": f"scene3 {res}x{res} x{bounces} bounces"}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    # forward only (same renderer the grad path differentiates)
+    dt, comp = timeit(
+        lambda fi: render_dispatch(scene, cam, fi, cfg, backend=backend),
+        jnp.uint32(1))
+    emit("fwd", dt, comp)
+
+    # forward value through the loss (adds target diff; sanity row)
+    dt, comp = timeit(
+        lambda fi: render_loss(params, scene, cam, target, fi, cfg,
+                               backend, True, False),
+        jnp.uint32(1))
+    emit("fwd_loss", dt, comp)
+
+    # fwd+bwd
+    dt, comp = timeit(
+        lambda fi: loss_and_grad(params, scene, cam, target, fi, cfg,
+                                 backend, True, False),
+        jnp.uint32(2))
+    emit("fwd_bwd", dt, comp)
+
+    ratio = rows[2]["ms"] / rows[0]["ms"]
+    note = (f"bwd/fwd = {ratio:.2f}x: the backward bounce scan remats the "
+            f"sweep per bounce and transposes every texture/sky gather "
+            f"into scatter-adds over the {res}x{res} grid; a pure-FLOP "
+            f"speed-of-light bwd would be ~2x fwd, so "
+            f"{max(ratio - 2.0, 0.0):.2f}x is remat+scatter overhead")
+    print("# " + note, flush=True)
+    rnd = os.environ.get("RTM_BENCH_ROUND")
+    if rnd:
+        out = {"rows": rows, "note": note}
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), f"BENCH_GRAD_r{rnd}.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"# wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,3 +133,28 @@ def test_render_sharded_wavefront_matches(setup, image_compare):
     out = render_sharded(scene, cam, jnp.uint32(1), CFG, mesh,
                          backend="wavefront2_interpret")
     image_compare(np.asarray(ref), np.asarray(out))
+
+
+def test_sharded_wavefront2_grads_match_single_device(image_compare):
+    """The differentiable FAST path, sharded: per-device slot bands through
+    the sorted-wavefront renderer with psum'd scene-parameter grads must
+    match the single-device XLA loss+grad (VERDICT r2 task 3)."""
+    cfg = RenderConfig(width=16, height=16, max_bounces=3, max_frames=1,
+                       draw_environment=True)
+    scene = build_tracer_scene(load_scene(2))
+    cam = Camera().spec(cfg.width, cfg.height)
+    mesh = make_mesh(4)
+    params = extract_params(scene)
+    target = jnp.full((cfg.height, cfg.width, 3), 0.3, jnp.float32)
+
+    l_ref, g_ref = loss_and_grad(params, scene, cam, target, jnp.uint32(1),
+                                 cfg, "xla", False, False)
+    l_sh, g_sh = sharded_loss_and_grad(params, scene, cam, target,
+                                       jnp.uint32(1), cfg, mesh,
+                                       backend="wavefront2_interpret",
+                                       remat=False,
+                                       rebuild_tri_geometry=False)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-6)

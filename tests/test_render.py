@@ -158,3 +158,46 @@ def test_draw_environment_off_is_black_on_miss():
     cam = Camera().spec(cfg.width, cfg.height)
     img = np.asarray(render_dispatch(ts, cam, jnp.uint32(1), cfg))
     np.testing.assert_array_equal(img, 0.0)
+
+
+def test_procedural_sun_sky_env():
+    """C28 parity: the legacy kernel's procedural sun/sky
+    (OldRayTracing.shader:119-136) as a selectable env model."""
+    import numpy as np
+
+    from rtm_tpu.ops.shade import SUN_DIR, procedural_sun_sky
+
+    # straight up: zenith color (skyLerp saturates, no sun term off-axis)
+    up = jnp.array([[0.0, 1.0, 0.0]], jnp.float32)
+    assert np.allclose(np.asarray(procedural_sun_sky(up))[0],
+                       [0.5, 0.7, 1.0], atol=1e-5)
+    # straight down: ground color
+    down = jnp.array([[0.0, -1.0, 0.0]], jnp.float32)
+    assert np.allclose(np.asarray(procedural_sun_sky(down))[0],
+                       [0.3, 0.3, 0.3], atol=1e-6)
+    # horizon (y=0): groundToSky saturates exactly -> horizon color + the
+    # (tiny) off-axis sun term
+    horiz = jnp.array([[1.0, 0.0, 0.0]], jnp.float32)
+    got = np.asarray(procedural_sun_sky(horiz))[0]
+    sun = (1.0 / np.sqrt(3.0)) ** 500 * 100.0
+    assert np.allclose(got, np.array([0.6, 0.4, 0.4]) + sun, atol=1e-5)
+    # into the sun: huge spike
+    toward = jnp.asarray(SUN_DIR)[None]
+    assert np.asarray(procedural_sun_sky(toward))[0, 0] > 90.0
+
+    # end-to-end: scene 5 (empty) under the sun env — every pixel is a
+    # first-bounce miss, so the image IS the env model
+    from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
+    from rtm_tpu.ops.trace_ref import render_dispatch
+    cfg = RenderConfig(width=16, height=16, max_bounces=2, max_frames=1,
+                       draw_environment=True)
+    scene = build_tracer_scene(load_scene(5), env_model="sun")
+    cam = Camera().spec(16, 16)
+    img = np.asarray(render_dispatch(scene, cam, jnp.uint32(1), cfg,
+                                     backend="xla"))
+    assert np.all(np.isfinite(img)) and img.max() > 0.2
+    # map-env twin must differ (different environment model)
+    scene_map = build_tracer_scene(load_scene(5))
+    img_map = np.asarray(render_dispatch(scene_map, cam, jnp.uint32(1),
+                                         cfg, backend="xla"))
+    assert not np.allclose(img, img_map)
