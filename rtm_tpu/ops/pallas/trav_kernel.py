@@ -76,15 +76,16 @@ MAX_NODES = 1024             # 8 lane chunks
 MAX_LEAVES = 512             # 4 lane chunks
 NO_TEX = 255                 # texslot sentinel in the packed tri info
 
-# triangle feature rows (trav_tri_feat leading axis) — Moller-Trumbore
-# factoring identical to megakernel _F_* plus the shading normal
-_TF_NX, _TF_NY, _TF_NZ, _TF_AN = 0, 1, 2, 3
-_TF_ABX, _TF_ABY, _TF_ABZ = 4, 5, 6
-_TF_ACX, _TF_ACY, _TF_ACZ = 7, 8, 9
-_TF_G1X, _TF_G1Y, _TF_G1Z = 10, 11, 12
-_TF_G2X, _TF_G2Y, _TF_G2Z = 13, 14, 15
-_TF_SNX, _TF_SNY, _TF_SNZ = 16, 17, 18
-TF_ROWS = 19
+# triangle feature rows (trav_tri_feat leading axis): vertex A and the
+# local edges only — each per-lane f32 costs one dynamic_gather (~7-10ns,
+# scripts/probe_loop_cost.py), so the Moller-Trumbore determinant features
+# (n, a.n, g1, g2 — megakernel _F_*) are DERIVED in registers from 9
+# gathered floats instead of gathering 16
+_TF_AX, _TF_AY, _TF_AZ = 0, 1, 2
+_TF_ABX, _TF_ABY, _TF_ABZ = 3, 4, 5
+_TF_ACX, _TF_ACY, _TF_ACZ = 6, 7, 8
+_TF_SNX, _TF_SNY, _TF_SNZ = 9, 10, 11      # shading normal (improve-gated)
+TF_ROWS = 12
 
 # material table rows (trav_mat)
 _M_ALR, _M_ALG, _M_ALB = 0, 1, 2
@@ -140,6 +141,28 @@ class TravMeta(NamedTuple):
 class TravTables(NamedTuple):
     arrays: TravArrays
     meta: TravMeta
+
+
+def _pack_box_bf16(node_box: np.ndarray) -> np.ndarray:
+    """(6, N) f32 [lo3, hi3] -> (3, N) i32 with per-axis (lo, hi) as a
+    CONSERVATIVE bf16 pair (lo in the low 16 bits rounded down-ish, hi in
+    the high 16 rounded up-ish): a 2^-7 relative margin before
+    round-to-nearest guarantees bf16(lo') <= lo and bf16(hi') >= hi (bf16
+    nearest-rounding error is <= 2^-9 relative), so the slab test stays
+    conservative — boxes get <=1.6% looser, hits are never missed.  Halves
+    the node-fetch gathers (6 f32 -> 3 i32 lookups + cheap unpacks)."""
+    import ml_dtypes
+    m = np.float32(2.0 ** -7)
+    tiny = np.float32(1e-37)
+    lo = node_box[0:3]
+    hi = node_box[3:6]
+    lo_c = (lo - np.abs(lo) * m - tiny).astype(ml_dtypes.bfloat16)
+    hi_c = (hi + np.abs(hi) * m + tiny).astype(ml_dtypes.bfloat16)
+    assert np.all(lo_c.astype(np.float32) <= lo)
+    assert np.all(hi_c.astype(np.float32) >= hi)
+    lo_b = lo_c.view(np.uint16).astype(np.uint32)
+    hi_b = hi_c.view(np.uint16).astype(np.uint32)
+    return (lo_b | (hi_b << 16)).view(np.int32)
 
 
 def _chunk_rep(values: np.ndarray, chunk_lanes: int = 128) -> np.ndarray:
@@ -215,7 +238,9 @@ def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
         info = (trav.skip.astype(np.int64) | (leaf1.astype(np.int64) << 10)
                 | (cnt << 20)).astype(np.int32)
 
-        # per-(k, leaf) triangle tables in BVH order
+        # per-(k, leaf) triangle tables in BVH order.  Padding slots get
+        # a degenerate triangle (all-zero edges -> det == 0 fails the
+        # gate).
         a = tri_wa[trav.order].astype(np.float32)
         b = tri_wb[trav.order].astype(np.float32)
         c3 = tri_wc[trav.order].astype(np.float32)
@@ -224,16 +249,10 @@ def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
         slot = slot_of_row[trav.order]
         ab = b - a
         ac = c3 - a
-        n = np.cross(ab, ac)
-        an = np.einsum("ij,ij->i", a, n)
-        g1 = np.cross(ac, a)
-        g2 = np.cross(ab, a)
-        feat_t = np.stack([n[:, 0], n[:, 1], n[:, 2], an,
+        feat_t = np.stack([a[:, 0], a[:, 1], a[:, 2],
                            ab[:, 0], ab[:, 1], ab[:, 2],
                            ac[:, 0], ac[:, 1], ac[:, 2],
-                           g1[:, 0], g1[:, 1], g1[:, 2],
-                           g2[:, 0], g2[:, 1], g2[:, 2],
-                           nsh[:, 0], nsh[:, 1], nsh[:, 2]])  # (TF, T)
+                           nsh[:, 0], nsh[:, 1], nsh[:, 2]])   # (TF, T)
         info_t = (mat | (slot << 8)).astype(np.int32)          # (T,)
 
         feat_kl = np.zeros((TF_ROWS, k, n_leaves), np.float32)
@@ -243,14 +262,14 @@ def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
             feat_kl[:, :w, li] = feat_t[:, s:e]
             info_kl[:w, li] = info_t[s:e]
 
-        node_box_r = _chunk_rep(node_box)                   # (6,NC,8,128)
+        node_box_r = _chunk_rep(_pack_box_bf16(node_box))   # (3,NC,8,128)
         node_info_r = _chunk_rep(info[None])[0]             # (NC,8,128)
         tri_feat_r = _chunk_rep(feat_kl)                    # (TF,K,LC,8,128)
         tri_info_r = _chunk_rep(info_kl)                    # (K,LC,8,128)
         assert node_box_r.shape[1] == nc and tri_feat_r.shape[2] == lc
     else:
         k = max(k, 1)
-        node_box_r = np.zeros((6, 1, 8, 128), np.float32)
+        node_box_r = np.zeros((3, 1, 8, 128), np.int32)
         node_info_r = np.zeros((1, 8, 128), np.int32)
         tri_feat_r = np.zeros((TF_ROWS, k, 1, 8, 128), np.float32)
         tri_info_r = np.full((k, 1, 8, 128), NO_TEX << 8, np.int32)
@@ -507,13 +526,24 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                 idx = jnp.clip(cur, 0, NDONE - 1)
                 lk = _mk_lookup(idx, nc)
                 info = lk(lambda c: node_info[c])
+                # box fetch: 3 i32 gathers, each an (lo, hi) bf16 pair
+                # (conservative packing, _pack_box_bf16)
+                wx_ = lk(lambda c: node_box[0, c])
+                wy_ = lk(lambda c: node_box[1, c])
+                wz_ = lk(lambda c: node_box[2, c])
+
+                def unpk(w):
+                    lo = jax.lax.bitcast_convert_type(
+                        jax.lax.shift_left(w, 16), jnp.float32)
+                    hi = jax.lax.bitcast_convert_type(
+                        jnp.bitwise_and(w, jnp.int32(-65536)), jnp.float32)
+                    return lo, hi
+
+                lox, hix = unpk(wx_)
+                loy, hiy = unpk(wy_)
+                loz, hiz = unpk(wz_)
                 near = _slab_near8(
-                    lk(lambda c: node_box[0, c]),
-                    lk(lambda c: node_box[1, c]),
-                    lk(lambda c: node_box[2, c]),
-                    lk(lambda c: node_box[3, c]),
-                    lk(lambda c: node_box[4, c]),
-                    lk(lambda c: node_box[5, c]),
+                    lox, loy, loz, hix, hiy, hiz,
                     ox, oy, oz, inv_dx, inv_dy, inv_dz)
                 hit = active & (near < best_r[:, :])
                 skip = info & 0x3FF
@@ -534,20 +564,26 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
 
             def leaf_k_step(k):
                 # k is a TRACED loop index: tri_feat's K axis is a leading
-                # (untiled) ref dim, so [j, k, c] is a dynamic-address read
+                # (untiled) ref dim, so [j, k, c] is a dynamic-address
+                # read.  9 gathers (vertex A + local edges); the M-T
+                # determinant features are derived in registers (a gather
+                # costs ~10-20 VPU ops' worth of time).
                 m = cnt_r[:, :] > k
                 lk = _mk_lookup(jnp.clip(leaf_r[:, :], 0, n_leaves - 1), lc)
                 f = [lk(lambda c, j=j: tri_feat[j, k, c])
-                     for j in range(16)]
-                det = -(dx * f[_TF_NX] + dy * f[_TF_NY] + dz * f[_TF_NZ])
-                tdet = (ox * f[_TF_NX] + oy * f[_TF_NY]
-                        + oz * f[_TF_NZ]) - f[_TF_AN]
-                udet = (wx * f[_TF_ACX] + wy * f[_TF_ACY]
-                        + wz * f[_TF_ACZ]) \
-                    - (dx * f[_TF_G1X] + dy * f[_TF_G1Y] + dz * f[_TF_G1Z])
-                vdet = (dx * f[_TF_G2X] + dy * f[_TF_G2Y]
-                        + dz * f[_TF_G2Z]) \
-                    - (wx * f[_TF_ABX] + wy * f[_TF_ABY] + wz * f[_TF_ABZ])
+                     for j in range(9)]
+                aox = ox - f[_TF_AX]
+                aoy = oy - f[_TF_AY]
+                aoz = oz - f[_TF_AZ]
+                nx_t, ny_t, nz_t = _cross(f[_TF_ABX], f[_TF_ABY],
+                                          f[_TF_ABZ], f[_TF_ACX],
+                                          f[_TF_ACY], f[_TF_ACZ])
+                det = -(dx * nx_t + dy * ny_t + dz * nz_t)
+                tdet = aox * nx_t + aoy * ny_t + aoz * nz_t
+                dax, day, daz = _cross(aox, aoy, aoz, dx, dy, dz)
+                udet = f[_TF_ACX] * dax + f[_TF_ACY] * day + f[_TF_ACZ] * daz
+                vdet = -(f[_TF_ABX] * dax + f[_TF_ABY] * day
+                         + f[_TF_ABZ] * daz)
                 wdet = det - udet - vdet
                 mm = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
                                  jnp.minimum(jnp.minimum(udet, vdet), wdet))
@@ -560,10 +596,10 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
 
                 @pl.when(jnp.any(better))
                 def _():
-                    wfe_r[0] = _select(better, f[_TF_NX], wfe_r[0])
-                    wfe_r[1] = _select(better, f[_TF_NY], wfe_r[1])
-                    wfe_r[2] = _select(better, f[_TF_NZ], wfe_r[2])
-                    wfe_r[3] = _select(better, f[_TF_AN], wfe_r[3])
+                    # carry the winner's exact-t numerator/denominator and
+                    # fetch its shading normal + packed (mat, texslot)
+                    wfe_r[0] = _select(better, tdet, wfe_r[0])
+                    wfe_r[1] = _select(better, det, wfe_r[1])
                     wfe_r[4] = _select(better, lk(
                         lambda c: tri_feat[_TF_SNX, k, c]), wfe_r[4])
                     wfe_r[5] = _select(better, lk(
@@ -639,12 +675,10 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                     traverse(ox, oy, oz, dx, dy, dz, wx, wy, wz, alive,
                              t_sph)
                     use_tri = (got_r[:, :] > 0) & alive
-                    # exact hit distance from the winner's plane equation
-                    # (the traversal t was approx-reciprocal, order-only)
-                    gnx, gny, gnz = wfe_r[0], wfe_r[1], wfe_r[2]
-                    gden = -(dx * gnx + dy * gny + dz * gnz)
-                    t_ex = (ox * gnx + oy * gny + oz * gnz - wfe_r[3]) \
-                        / _select(gden == 0.0, jnp.float32(1.0), gden)
+                    # exact hit distance from the winner's carried
+                    # tdet/det (the traversal t was approx-reciprocal,
+                    # order-only; det > DET_EPS for every winner)
+                    t_ex = wfe_r[0] / jnp.maximum(wfe_r[1], DET_EPS)
                     t_hit = _select(use_tri, t_ex, t_sph)
                 else:
                     use_tri = jnp.zeros(shape, jnp.bool_)
