@@ -15,15 +15,19 @@ inverse-rendering objectives:
                 perpendicular miss distance; triangle: min barycentric
                 coordinate of the hit point),
     alpha   = sigmoid(m / tau),
-    img     = alpha * img_hard + (1 - alpha) * sky(d).
+    img     = alpha * img_hard + (1 - alpha) * img_deoccluded.
 
 Both margins are smooth functions of the geometry parameters, so
 jax.grad picks up the edge term that the detached argmin drops; as
-tau -> 0 the soft image converges to the hard render.  Scope (documented
-limitation): the blend target is the environment — silhouettes against
-the sky are exact, silhouettes of one object occluding another blend
-toward sky rather than the occluded object's radiance (an O(alpha *
-(C_occluded - C_sky)) bias confined to edge pixels).
+tau -> 0 the soft image converges to the hard render.
+
+The blend target is the DE-OCCLUDED radiance: the same ray re-traced
+from just past the winning primitive's exit point (a sphere's far root /
+a triangle's far side) through the full multi-bounce pipeline — so
+object-over-object silhouettes blend toward the occluded object's
+actual shaded radiance, and object-over-sky edges reduce to the sky
+term naturally (round-2 review item 6: the former sky-only blend biased
+occluder edges by O(alpha * (C_occluded - C_sky))).
 
 Use: diff.render_loss(..., soft_tau=0.01) or render_soft_primary directly.
 """
@@ -37,16 +41,20 @@ from ..models.camera import CameraSpec
 from ..models.scene import TracerScene
 from ..ops import rng
 from ..ops.intersect import dot3, nearest_sphere, normalize
-from ..ops.shade import env_radiance
 from ..ops.trace_ref import _gather, camera_ray_basis, render_pixels
 
 
-def primary_soft_alpha(scene: TracerScene, origin, direction, tau: float):
+def primary_soft_alpha(scene: TracerScene, origin, direction, tau: float,
+                       with_exit: bool = False):
     """Soft coverage of each ray's primary hit: (N,) in (0, 1).
 
     Interior rays saturate to ~1; rays crossing a silhouette get a smooth
     transition of width ~tau in margin units.  Fully differentiable in
     sphere centers/radii and triangle vertices.
+
+    with_exit: additionally return the winner's EXIT distance (far sphere
+    root / just past the triangle) — where the de-occluded re-trace
+    starts — and a hit mask.
     """
     n = origin.shape[0]
     alpha = jnp.ones((n,), jnp.float32)
@@ -64,9 +72,15 @@ def primary_soft_alpha(scene: TracerScene, origin, direction, tau: float):
         m_sph = (r * r - p2) / jnp.maximum(r * r, 1e-12)
         a_sph = jnp.where(i_s >= 0,
                           jax.nn.sigmoid(m_sph / tau), 1.0)
+        # far root: where a ray passing "through" the sphere exits it.
+        # clamp away from 0: sqrt'(0) = inf would leak NaN into reverse
+        # mode through the miss-ray lanes despite the downstream mask
+        disc = jnp.sqrt(jnp.maximum(r * r - p2, 1e-12))
+        t_exit_s = -along + disc
     else:
         t_s = jnp.full((n,), jnp.inf)
         a_sph = jnp.ones((n,), jnp.float32)
+        t_exit_s = jnp.zeros((n,), jnp.float32)
 
     if scene.num_triangles > 0:
         from ..ops.intersect import TriFeatures, nearest_triangle
@@ -87,12 +101,21 @@ def primary_soft_alpha(scene: TracerScene, origin, direction, tau: float):
         m_tri = jnp.minimum(jnp.minimum(u, v), w)       # <0 outside
         a_tri = jnp.where(i_t >= 0,
                           jax.nn.sigmoid(m_tri / tau), 1.0)
+        t_exit_t = t_t                                  # thin primitive
     else:
         t_t = jnp.full((n,), jnp.inf)
         a_tri = jnp.ones((n,), jnp.float32)
+        t_exit_t = jnp.zeros((n,), jnp.float32)
 
     # the winner's margin is the one that matters
-    return jnp.where(t_t < t_s, a_tri, a_sph)
+    use_tri = t_t < t_s
+    alpha = jnp.where(use_tri, a_tri, a_sph)
+    if not with_exit:
+        return alpha
+    hit = jnp.minimum(t_t, t_s) < jnp.inf
+    t_exit = jnp.where(use_tri, t_exit_t, t_exit_s)
+    t_exit = jnp.where(hit, jnp.maximum(t_exit, 0.0), 0.0)
+    return alpha, t_exit, hit
 
 
 def render_soft_primary(scene: TracerScene, cam: CameraSpec, x, y,
@@ -112,8 +135,38 @@ def render_soft_primary(scene: TracerScene, cam: CameraSpec, x, y,
     # factor is a per-pixel geometric weight, not a stochastic estimate)
     direction = normalize(focus_point - position[None, :])
     origin = jnp.broadcast_to(position[None, :], direction.shape)
-    alpha = primary_soft_alpha(scene, origin, direction, tau)
+    alpha, t_exit, hit = primary_soft_alpha(scene, origin, direction, tau,
+                                            with_exit=True)
 
-    sky = env_radiance(scene, direction)
+    # de-occluded radiance: the same ray re-traced from just past the
+    # winner's exit, full multi-bounce — misses reduce to the sky term
+    eps = jnp.float32(1e-3)
+    o_behind = origin + (t_exit + eps)[:, None] * direction
+    o_behind = jnp.where(hit[:, None], o_behind, origin)
+    occ = _trace_radiance(scene, cfg, o_behind, direction,
+                          rng.pixel_seed(x, y, cfg.width, 1,
+                                         jnp.asarray(frame_index,
+                                                     jnp.uint32)),
+                          chunk=chunk)
+    return alpha[:, None] * img + (1.0 - alpha[:, None]) * occ
+
+
+def _trace_radiance(scene: TracerScene, cfg: RenderConfig, o, d, seed,
+                    chunk: int = 512):
+    """Full bounce loop from explicit start rays (the de-occlusion
+    re-trace): bounce_payload + shade_bounce, reference semantics."""
+    from ..ops.intersect import TriFeatures
+    from ..ops.trace_ref import bounce_payload, shade_bounce
+    n = o.shape[0]
+    feats = TriFeatures.build(scene.tri_wa, scene.tri_wb, scene.tri_wc)
     draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
-    return alpha[:, None] * img + (1.0 - alpha[:, None]) * sky * draw_env
+    color = jnp.zeros((n, 3), jnp.float32)
+    contrib = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    sd = seed
+    for b in range(cfg.max_bounces):
+        sd = sd + jnp.uint32(b)
+        p = bounce_payload(scene, feats, o, d, chunk=chunk)
+        o, d, sd, color, contrib, alive = shade_bounce(
+            scene, cfg, draw_env, o, d, sd, color, contrib, alive, p)
+    return color

@@ -341,3 +341,42 @@ def test_soft_primary_converges_to_hard():
     soft = np.asarray(render_soft_primary(ts, cam, x, y, FI, cfg, tau=1e-4))
     frac_diff = (np.abs(hard - soft).max(axis=-1) > 1e-3).mean()
     assert frac_diff < 0.02          # only the 1-2 px edge band may differ
+
+
+def test_silhouette_occluder_over_object_fd():
+    """Object-over-OBJECT silhouette (r2 review item 6): a sphere edge in
+    front of a bright triangle.  The soft blend must target the occluded
+    triangle's shaded radiance (not sky), so autodiff of the edge term
+    matches finite differences in the sphere center."""
+    from rtm_tpu.diff.silhouette import render_soft_primary
+    from rtm_tpu.models.mesh import Mesh, MeshInstance, Triangle
+    from rtm_tpu.ops.trace_ref import pixel_grid
+
+    s = Scene(sky=builtin._procedural_sky())
+    s.add_material(Material((0.8, 0.3, 0.2), (1, 1, 1), 0.1, 0, 0, 1.0, -1))
+    # bright emissive triangle BEHIND the sphere: de-occluded radiance is
+    # very different from the sky, so a sky-biased blend would fail FD
+    s.add_material(Material((1, 1, 1), (1.0, 0.9, 0.2), 0, 0, 5.0, 1.0, -1))
+    s.add_sphere(SphereDef((0.0, 1.0, -3.0), 0.7, 0))
+    s.add_mesh(Mesh.from_triangles([
+        Triangle((-3.0, -1.0, -6.0), (3.0, -1.0, -6.0), (0.0, 4.0, -6.0))]))
+    s.add_object(MeshInstance(mesh_id=0, material_id=1))
+    ts = build_tracer_scene(s)
+
+    cfg = RenderConfig(width=24, height=20, max_bounces=2,
+                       draw_environment=True)
+    cam = Camera().spec(cfg.width, cfg.height)
+    x, y = pixel_grid(cfg.width, cfg.height)
+
+    def loss(cx):
+        sc = ts.__class__(**{**ts.__dict__,
+                             "sph_pos": ts.sph_pos.at[0, 0].set(cx)})
+        img = render_soft_primary(sc, cam, x, y, FI, cfg, tau=0.05)
+        return jnp.mean(img ** 2)
+
+    c0 = ts.sph_pos[0, 0]
+    g = float(jax.grad(loss)(c0))
+    eps = 1e-3
+    fd = (float(loss(c0 + eps)) - float(loss(c0 - eps))) / (2 * eps)
+    assert abs(fd) > 1e-4, fd
+    np.testing.assert_allclose(g, fd, rtol=0.08, atol=1e-4)
