@@ -432,8 +432,9 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
         best_r = next(it)                     # (8,128) f32
         got_r = next(it)                      # (8,128) i32 (0/1)
         wfe_r = next(it)                      # (8, 8,128) f32 carried winner
-        #   rows: nx ny nz an snx sny snz (geometric plane + shading normal)
+        #   rows: 0=tdet 1=det 4-6=shading normal
         winfo_r = next(it)                    # (8,128) i32 mat|texslot<<8
+        wink_r = next(it)                     # (8,128) i32 leaf | k<<16
         nsteps = next(it)                     # (1,1) i32 SMEM stats
         ksteps = next(it)                     # (1,1) i32 SMEM stats
 
@@ -592,34 +593,32 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                 better = m & (mm >= 0.0) & (ta < best_r[:, :])
                 best_r[:, :] = _select(better, ta, best_r[:, :])
                 got_r[:, :] = got_r[:, :] | better.astype(jnp.int32)
+                # carry the winner's exact-t numerator/denominator and its
+                # (leaf, k) identity by UNGATED selects: a pl.when(any(..))
+                # gate here is a vector->scalar sync per k-step — measured
+                # to dominate the whole traversal
+                wfe_r[0] = _select(better, tdet, wfe_r[0])
+                wfe_r[1] = _select(better, det, wfe_r[1])
+                wink_r[:, :] = _select(
+                    better, leaf_r[:, :] | (k << 16), wink_r[:, :])
                 ksteps[0, 0] += 1
 
-                @pl.when(jnp.any(better))
-                def _():
-                    # carry the winner's exact-t numerator/denominator and
-                    # fetch its shading normal + packed (mat, texslot)
-                    wfe_r[0] = _select(better, tdet, wfe_r[0])
-                    wfe_r[1] = _select(better, det, wfe_r[1])
-                    wfe_r[4] = _select(better, lk(
-                        lambda c: tri_feat[_TF_SNX, k, c]), wfe_r[4])
-                    wfe_r[5] = _select(better, lk(
-                        lambda c: tri_feat[_TF_SNY, k, c]), wfe_r[5])
-                    wfe_r[6] = _select(better, lk(
-                        lambda c: tri_feat[_TF_SNZ, k, c]), wfe_r[6])
-                    winfo_r[:, :] = _select(
-                        better, lk(lambda c: tri_info[k, c]), winfo_r[:, :])
+            def k_body(k, _):
+                leaf_k_step(k)
+                return 0
+
+            def one_round():
+                node_burst(0)
+                # leaf phase: static trip (a jnp.max(cnt) bound is one
+                # more vector->scalar sync per round, and some lane almost
+                # always holds a full leaf anyway)
+                jax.lax.fori_loop(0, leaf_k, k_body, 0)
+                cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
 
             def outer_body(_):
-                node_burst(0)
-                # leaf phase: dynamic trip = largest parked leaf this round
-                kmax = jnp.max(cnt_r[:, :])
-
-                def k_body(k, _):
-                    leaf_k_step(k)
-                    return 0
-
-                jax.lax.fori_loop(0, kmax, k_body, 0)
-                cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
+                # two rounds per termination check (sync amortization)
+                one_round()
+                one_round()
                 return jnp.any(cur_r[:, :] < NDONE)
 
             jax.lax.while_loop(lambda f_: f_, outer_body,
@@ -671,9 +670,45 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                 if have_tris:
                     wx, wy, wz = _cross(ox, oy, oz, dx, dy, dz)
                     winfo_r[:, :] = jnp.full(shape, NO_TEX << 8, jnp.int32)
+                    wink_r[:, :] = jnp.zeros(shape, jnp.int32)
                     # sphere wins ties: triangle improve is strict <
                     traverse(ox, oy, oz, dx, dy, dz, wx, wy, wz, alive,
                              t_sph)
+                    # winner attribute fetch: ONE pass over k (sync-free
+                    # fori; the winner's k is per-lane) gathering the
+                    # shading normal + packed (mat, texslot) of lanes whose
+                    # winner sits at this k
+                    win_leaf = jnp.bitwise_and(wink_r[:, :],
+                                               jnp.int32(0xFFFF))
+                    win_k = jax.lax.shift_right_logical(wink_r[:, :], 16)
+                    lanew = jnp.bitwise_and(win_leaf, 127)
+                    sels = [win_leaf >= (c * 128) for c in range(1, lc)]
+
+                    def fetch_k(kf, _):
+                        mk_ = win_k == kf
+
+                        def lkw(get):
+                            g = jnp.take_along_axis(get(0), lanew, axis=1)
+                            for c in range(1, lc):
+                                g = jnp.where(sels[c - 1],
+                                              jnp.take_along_axis(
+                                                  get(c), lanew, axis=1), g)
+                            return g
+
+                        wfe_r[4] = _select(mk_, lkw(
+                            lambda c: tri_feat[_TF_SNX, kf, c]), wfe_r[4])
+                        wfe_r[5] = _select(mk_, lkw(
+                            lambda c: tri_feat[_TF_SNY, kf, c]), wfe_r[5])
+                        wfe_r[6] = _select(mk_, lkw(
+                            lambda c: tri_feat[_TF_SNZ, kf, c]), wfe_r[6])
+                        winfo_r[:, :] = _select(mk_, lkw(
+                            lambda c: tri_info[kf, c]), winfo_r[:, :])
+                        return 0
+
+                    jax.lax.fori_loop(0, leaf_k, fetch_k, 0)
+                    winfo_r[:, :] = _select(
+                        got_r[:, :] > 0, winfo_r[:, :],
+                        jnp.full(shape, NO_TEX << 8, jnp.int32))
                     use_tri = (got_r[:, :] > 0) & alive
                     # exact hit distance from the winner's carried
                     # tdet/det (the traversal t was approx-reciprocal,
@@ -1038,6 +1073,7 @@ def render_rays_trav(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
         pltpu.VMEM((8, 128), jnp.int32),     # got
         pltpu.VMEM((8, 8, 128), jnp.float32),  # winner features
         pltpu.VMEM((8, 128), jnp.int32),     # winfo
+        pltpu.VMEM((8, 128), jnp.int32),     # wink (leaf | k<<16)
         pltpu.SMEM((1, 1), jnp.int32),       # node-step counter
         pltpu.SMEM((1, 1), jnp.int32),       # leaf k-step counter
     ]
