@@ -67,8 +67,16 @@ class TravBVH:
         return len(self.slices)
 
 
-def build_trav(world_verts: np.ndarray, max_leaf_tris: int = 16) -> TravBVH:
-    """Build the traversal BVH for a world-space triangle soup (T,3,3)."""
+def build_trav(world_verts: np.ndarray, max_leaf_tris: int = 16,
+               merge: bool = False) -> TravBVH:
+    """Build the traversal BVH for a world-space triangle soup (T,3,3).
+
+    merge=True: adjacent cut leaves are greedily merged into FULL
+    max_leaf_tris-wide leaves and the skip tree is rebuilt as a median
+    split over the merged slice list.  MEASURED SLOWER than the SAH
+    subtree cut on the headline scene (61 vs 54 ms at 256^2x8: the median
+    tree's boxes prune worse than the SAH structure, outweighing the
+    better leaf fill) — kept for the record, off by default."""
     t = len(world_verts)
     if t == 0:
         return TravBVH(np.zeros((0, 3), np.float32),
@@ -127,7 +135,56 @@ def build_trav(world_verts: np.ndarray, max_leaf_tris: int = 16) -> TravBVH:
     # chain does that, but walk() recursion emits the parent before
     # descending, so construction order IS preorder.  skip[n] = first
     # node after n's whole subtree.
-    root = walk(0)
+    if merge:
+        # cut only (discard the walk's nodes): collect slices, then merge
+        nodes_lo.clear()
+        nodes_hi.clear()
+        nodes_leaf.clear()
+        children.clear()
+        cut = []
+        stack = [0]
+        # cut at a finer granule than the leaf budget so the greedy merge
+        # packs leaves near-full (cutting and merging at the same size
+        # leaves ~70% fill)
+        granule = max(4, max_leaf_tris // 3)
+        while stack:
+            nid = stack.pop()
+            n_lo, n_hi = int(lo_r[nid]), int(hi_r[nid])
+            if n_hi - n_lo == 0:
+                continue
+            if n_hi - n_lo <= granule or is_leaf[nid]:
+                for s in range(n_lo, n_hi, max_leaf_tris):
+                    cut.append((s, min(s + max_leaf_tris, n_hi)))
+            else:
+                child = int(bvh.buffer_region[nid, 0])
+                stack.append(child + 1)
+                stack.append(child)
+        cut.sort()
+        merged = []
+        cs, ce = cut[0]
+        for s, e in cut[1:]:
+            if e - cs <= max_leaf_tris:
+                ce = e
+            else:
+                merged.append((cs, ce))
+                cs, ce = s, e
+        merged.append((cs, ce))
+        slices.clear()
+        slices.extend(merged)
+
+        def split(i, j):
+            """Median-split skip tree over merged slices [i, j)."""
+            if j - i == 1:
+                return emit(slices[i][0], slices[i][1], i)
+            me = emit(slices[i][0], slices[j - 1][1], -1)
+            m = (i + j) // 2
+            children[me].append(split(i, m))
+            children[me].append(split(m, j))
+            return me
+
+        root = split(0, len(slices))
+    else:
+        root = walk(0)
     assert root == 0
     n = len(nodes_lo)
     skip = np.zeros(n, np.int32)
@@ -147,7 +204,7 @@ def build_trav(world_verts: np.ndarray, max_leaf_tris: int = 16) -> TravBVH:
         skip[nid] = ends[nid]
     # children immediately follow their parent in preorder: the "hit
     # internal -> cur+1" rule needs every internal node's first child at
-    # nid+1
+    # nid+1 (holds for both tree builders: emission order is preorder)
     for nid in range(n):
         if leaf_id[nid] < 0 and children[nid]:
             assert children[nid][0] == nid + 1, (nid, children[nid])

@@ -264,14 +264,19 @@ def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
 
         node_box_r = _chunk_rep(_pack_box_bf16(node_box))   # (3,NC,8,128)
         node_info_r = _chunk_rep(info[None])[0]             # (NC,8,128)
-        tri_feat_r = _chunk_rep(feat_kl)                    # (TF,K,LC,8,128)
+        # layout (K, LC, TF, 8, 128): the k-step takes ONE dynamic
+        # sub-ref at [k, c] and reads features at static offsets — nine
+        # separate [j, k, c] accesses cost nine scalar-unit dynamic
+        # address computations per step (measured dominant)
+        tri_feat_r = np.ascontiguousarray(
+            _chunk_rep(feat_kl).transpose(1, 2, 0, 3, 4))   # (K,LC,TF,8,128)
         tri_info_r = _chunk_rep(info_kl)                    # (K,LC,8,128)
-        assert node_box_r.shape[1] == nc and tri_feat_r.shape[2] == lc
+        assert node_box_r.shape[1] == nc and tri_feat_r.shape[1] == lc
     else:
         k = max(k, 1)
         node_box_r = np.zeros((3, 1, 8, 128), np.int32)
         node_info_r = np.zeros((1, 8, 128), np.int32)
-        tri_feat_r = np.zeros((TF_ROWS, k, 1, 8, 128), np.float32)
+        tri_feat_r = np.zeros((k, 1, TF_ROWS, 8, 128), np.float32)
         tri_info_r = np.full((k, 1, 8, 128), NO_TEX << 8, np.int32)
 
     return TravTables(
@@ -571,8 +576,8 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                 # costs ~10-20 VPU ops' worth of time).
                 m = cnt_r[:, :] > k
                 lk = _mk_lookup(jnp.clip(leaf_r[:, :], 0, n_leaves - 1), lc)
-                f = [lk(lambda c, j=j: tri_feat[j, k, c])
-                     for j in range(9)]
+                subs = [tri_feat.at[k, c] for c in range(lc)]
+                f = [lk(lambda c, j=j: subs[c][j]) for j in range(9)]
                 aox = ox - f[_TF_AX]
                 aoy = oy - f[_TF_AY]
                 aoz = oz - f[_TF_AZ]
@@ -616,8 +621,6 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                 cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
 
             def outer_body(_):
-                # two rounds per termination check (sync amortization)
-                one_round()
                 one_round()
                 return jnp.any(cur_r[:, :] < NDONE)
 
@@ -686,6 +689,7 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
 
                     def fetch_k(kf, _):
                         mk_ = win_k == kf
+                        subs = [tri_feat.at[kf, c] for c in range(lc)]
 
                         def lkw(get):
                             g = jnp.take_along_axis(get(0), lanew, axis=1)
@@ -696,11 +700,11 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                             return g
 
                         wfe_r[4] = _select(mk_, lkw(
-                            lambda c: tri_feat[_TF_SNX, kf, c]), wfe_r[4])
+                            lambda c: subs[c][_TF_SNX]), wfe_r[4])
                         wfe_r[5] = _select(mk_, lkw(
-                            lambda c: tri_feat[_TF_SNY, kf, c]), wfe_r[5])
+                            lambda c: subs[c][_TF_SNY]), wfe_r[5])
                         wfe_r[6] = _select(mk_, lkw(
-                            lambda c: tri_feat[_TF_SNZ, kf, c]), wfe_r[6])
+                            lambda c: subs[c][_TF_SNZ]), wfe_r[6])
                         winfo_r[:, :] = _select(mk_, lkw(
                             lambda c: tri_info[kf, c]), winfo_r[:, :])
                         return 0
@@ -1026,7 +1030,7 @@ def render_rays_trav(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
     nc = lc = 1
     if have_tris:
         nc = ta.node_box.shape[1]
-        lc = ta.tri_feat.shape[2]
+        lc = ta.tri_feat.shape[1]
         vmem_full(ta.node_box)
         vmem_full(ta.node_info)
         vmem_full(ta.tri_feat)

@@ -20,7 +20,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# RTM_TPU_TESTS=1 keeps the tunneled TPU REGISTERED (lowest priority, so
+# every unmarked test still defaults to cpu) for the tpu-marked subset,
+# which opts in per-test via jax.default_device.
+if os.environ.get("RTM_TPU_TESTS") == "1":
+    jax.config.update("jax_platforms", "cpu,axon")
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
