@@ -47,6 +47,11 @@ def main() -> None:
     repeats = int(os.environ.get("RTM_BENCH_REPEATS", 20))
 
     if backend == "auto":
+        # committed A/B at the headline config (BENCH_BACKENDS_r03.json,
+        # TPU v5e): megakernel 162 ms/frame vs trav 183 vs the r2-retired
+        # wavefront paths — megakernel remains the fastest forward path;
+        # the trav kernel wins on early-terminating scenes and is the
+        # scaling path for larger scenes (O(log T) vs O(T)).
         backend = ("megakernel" if jax.devices()[0].platform == "tpu"
                    else "xla")
 

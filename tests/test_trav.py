@@ -106,3 +106,27 @@ def test_traversal_prunes(scene3_trav):
                                                init_t=t_full * 1.001)
     assert i_tight == i_full
     assert leaves_tight <= leaves_full
+
+
+def test_trav_dead_lane_early_exit_correct():
+    """Early exit (tile skips traversal once every lane terminated) must
+    not change radiance: scene 2 rays escape to the sky quickly, so high
+    bounce counts exercise the all-dead rounds."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtm_tpu import Camera, RenderConfig, build_tracer_scene
+    from rtm_tpu.models.scenes import load_scene as load
+    from rtm_tpu.ops.trace_ref import render_dispatch
+
+    cfg = RenderConfig(width=32, height=32, max_bounces=8, max_frames=1,
+                       draw_environment=True)
+    scene = build_tracer_scene(load(2))
+    cam = Camera().spec(32, 32)
+    ref = np.asarray(render_dispatch(scene, cam, jnp.uint32(1), cfg,
+                                     backend="xla"))
+    got = np.asarray(render_dispatch(scene, cam, jnp.uint32(1), cfg,
+                                     backend="trav_interpret"))
+    d = np.abs(ref - got)
+    assert d.mean() < 5e-3 and np.mean(d.max(-1) > 2e-2) < 0.01, (
+        d.mean(), d.max())
