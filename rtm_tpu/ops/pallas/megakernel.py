@@ -1057,12 +1057,18 @@ def _pack_camera(cam: CameraSpec):
 def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                       cfg: RenderConfig, ray_tile: int = DEFAULT_RAY_TILE,
                       cull: bool = True, interpret: bool = False,
-                      early_exit: bool = False, order: str = "near"):
+                      early_exit: bool = False, order: str = "static"):
     """Full-frame forward dispatch through the megakernel.
 
     Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples —
     same contract as ops.trace_ref.render_dispatch.  Forward-only (the
     autodiff path uses the XLA renderer).
+
+    order defaults to "static": the round-3 A/B (scripts/order_ab.py,
+    512^2x8 on chip) measured near-512 148.4 ms vs static-512 146.0 —
+    the in-kernel pop-argmin buys nothing because tile-uniform culling is
+    saturated regardless (census, scripts/census_schemes.py), settling
+    the round-2 near-vs-static contradiction.
     """
     color = render_rays_megakernel(
         scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
@@ -1079,7 +1085,7 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                            cull: bool = True, interpret: bool = False,
                            early_exit: bool = False,
                            skip_postpass: bool = False,
-                           order: str = "near", probe: str = ""):
+                           order: str = "static", probe: str = ""):
     """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) of the
     cfg.width x cfg.height grid — the unit the multi-chip sharded renderer
     dispatches per device band (parallel/sharding.py).  Returns (n_rays, 3)

@@ -116,6 +116,21 @@ class ProgressiveRenderer:
         self.fps = inst if self.fps == 0.0 else 0.9 * self.fps + 0.1 * inst
         return out
 
+    def step_async(self) -> jax.Array:
+        """Dispatch one frame WITHOUT blocking: returns the device array
+        immediately (JAX dispatch is asynchronous), so the host can do
+        other work — event handling, encoding the previous frame — while
+        the chip renders.  This is the TPU analog of the reference's two
+        frames in flight (Swapchain double buffering, Utils/Constants.h:7
+        + Swapchain.cpp:56-115): the viewer encodes frame N while frame
+        N+1 is on the device (SURVEY §2.1 P-PP)."""
+        self.frame_index = self.frame_index + 1 if self.cfg.accumulate else 1
+        cam_spec = self.camera.spec(self.cfg.width, self.cfg.height)
+        self.accum, out = accumulate_step(
+            self.scene, cam_spec, self.accum,
+            np.uint32(self.frame_index), self.cfg)
+        return out
+
     def render(self, frames: int = 1) -> jax.Array:
         out = None
         for _ in range(frames):

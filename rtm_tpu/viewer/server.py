@@ -269,8 +269,25 @@ class ViewerServer:
         self._frame_png = _encode_png(out[::-1])
 
     def _render_loop(self) -> None:
+        # pipelined: dispatch frame N+1 asynchronously, then encode frame
+        # N on the host while the device renders — the reference's two
+        # frames in flight (Swapchain.cpp:56-115), SURVEY §2.1 P-PP.
+        # Timing/fps bookkeeping comes from the wall clock per lap.
+        import time
+        pending = None
         while self._running:
-            self.step()
+            t0 = time.perf_counter()
+            self.bus.process()
+            nxt = self.renderer.step_async()
+            if pending is not None:
+                out = np.asarray(pending)       # sync point for frame N
+                self._frame_png = _encode_png(out[::-1])
+            pending = nxt
+            lap = (time.perf_counter() - t0) * 1e3
+            self.renderer.last_ms = lap
+            inst = 1e3 / max(lap, 1e-3)
+            self.renderer.fps = (inst if self.renderer.fps == 0.0
+                                 else 0.9 * self.renderer.fps + 0.1 * inst)
 
     # -- http --------------------------------------------------------------
     def _handler(self):
