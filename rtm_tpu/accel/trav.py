@@ -68,7 +68,7 @@ class TravBVH:
 
 
 def build_trav(world_verts: np.ndarray, max_leaf_tris: int = 16,
-               merge: bool = False) -> TravBVH:
+               merge: bool = False, bvh=None) -> TravBVH:
     """Build the traversal BVH for a world-space triangle soup (T,3,3).
 
     merge=True: adjacent cut leaves are greedily merged into FULL
@@ -76,14 +76,20 @@ def build_trav(world_verts: np.ndarray, max_leaf_tris: int = 16,
     split over the merged slice list.  MEASURED SLOWER than the SAH
     subtree cut on the headline scene (61 vs 54 ms at 256^2x8: the median
     tree's boxes prune worse than the SAH structure, outweighing the
-    better leaf fill) — kept for the record, off by default."""
+    better leaf fill) — kept for the record, off by default.
+
+    bvh: a prebuilt accel.bvh BVH over `world_verts` — the binned-SAH
+    hierarchy build dominates this function, and the adaptive leaf-size
+    loop in trav_kernel.build_trav_tables re-cuts the SAME hierarchy many
+    times (advisor r3): build it once, pass it here."""
     t = len(world_verts)
     if t == 0:
         return TravBVH(np.zeros((0, 3), np.float32),
                        np.zeros((0, 3), np.float32),
                        np.zeros(0, np.int32), np.zeros(0, np.int32),
                        np.zeros(0, np.int64), ())
-    bvh = build_bvh(Mesh(world_verts, None))
+    if bvh is None:
+        bvh = build_bvh(Mesh(world_verts, None))
     lo_r, hi_r, is_leaf = _node_ranges(bvh.buffer_region)
     order = bvh.order.astype(np.int64)
     v = world_verts[order]                                  # (T,3,3)

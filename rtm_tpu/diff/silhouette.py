@@ -40,7 +40,7 @@ from ..config import RenderConfig
 from ..models.camera import CameraSpec
 from ..models.scene import TracerScene
 from ..ops import rng
-from ..ops.intersect import dot3, nearest_sphere, normalize
+from ..ops.intersect import FLT_MAX, dot3, nearest_sphere, normalize
 from ..ops.trace_ref import _gather, camera_ray_basis, render_pixels
 
 
@@ -74,9 +74,11 @@ def primary_soft_alpha(scene: TracerScene, origin, direction, tau: float,
                           jax.nn.sigmoid(m_sph / tau), 1.0)
         # far root: where a ray passing "through" the sphere exits it.
         # clamp away from 0: sqrt'(0) = inf would leak NaN into reverse
-        # mode through the miss-ray lanes despite the downstream mask
+        # mode through the miss-ray lanes despite the downstream mask.
+        # Mask miss lanes (i_s < 0) to 0 here: -along of a garbage winner
+        # is unbounded and would poison the min/max blend below (advisor r3)
         disc = jnp.sqrt(jnp.maximum(r * r - p2, 1e-12))
-        t_exit_s = -along + disc
+        t_exit_s = jnp.where(i_s >= 0, -along + disc, 0.0)
     else:
         t_s = jnp.full((n,), jnp.inf)
         a_sph = jnp.ones((n,), jnp.float32)
@@ -101,7 +103,10 @@ def primary_soft_alpha(scene: TracerScene, origin, direction, tau: float,
         m_tri = jnp.minimum(jnp.minimum(u, v), w)       # <0 outside
         a_tri = jnp.where(i_t >= 0,
                           jax.nn.sigmoid(m_tri / tau), 1.0)
-        t_exit_t = t_t                                  # thin primitive
+        # thin primitive; mask miss lanes (t_t == FLT_MAX, not inf): an
+        # unmasked FLT_MAX exit makes o_behind ~3.4e38*direction — an
+        # overflow/NaN hazard in reverse mode (advisor r3)
+        t_exit_t = jnp.where(i_t >= 0, t_t, 0.0)
     else:
         t_t = jnp.full((n,), jnp.inf)
         a_tri = jnp.ones((n,), jnp.float32)
@@ -112,7 +117,10 @@ def primary_soft_alpha(scene: TracerScene, origin, direction, tau: float,
     alpha = jnp.where(use_tri, a_tri, a_sph)
     if not with_exit:
         return alpha
-    hit = jnp.minimum(t_t, t_s) < jnp.inf
+    # misses are encoded FLT_MAX (3.4e38) by nearest_sphere/nearest_triangle,
+    # NOT inf — an inf compare never fired, so every sky pixel re-traced a
+    # full bounce loop from a garbage origin (advisor r3, medium)
+    hit = jnp.minimum(t_t, t_s) < FLT_MAX
     t_exit = jnp.where(use_tri, t_exit_t, t_exit_s)
     t_exit = jnp.where(hit, jnp.maximum(t_exit, 0.0), 0.0)
     return alpha, t_exit, hit

@@ -191,15 +191,22 @@ def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
 
     # adaptive leaf size: prefer <=128 leaves (single-gather triangle
     # tables) and <=256 nodes (2-chunk node fetch); grow the leaf until
-    # the structure fits, hard-capped by MAX_LEAVES/MAX_NODES
+    # the structure fits, hard-capped by MAX_LEAVES/MAX_NODES.  The SAH
+    # hierarchy is built ONCE and re-CUT per k (the cut is cheap; the
+    # binned-SAH build dominates — advisor r3)
     k = max_leaf_tris
     trav = None
+    bvh = None
     n_nodes = n_leaves = 0
     if t > 0:
+        from ...accel.bvh import build_bvh
+        from ...models.mesh import Mesh
+
         verts = np.stack([tri_wa, tri_wb, tri_wc],
                          axis=1).astype(np.float32)
+        bvh = build_bvh(Mesh(verts, None))
         while True:
-            trav = build_trav(verts, max_leaf_tris=k)
+            trav = build_trav(verts, max_leaf_tris=k, bvh=bvh)
             n_nodes, n_leaves = trav.num_nodes, trav.num_leaves
             if (n_leaves <= 128 and n_nodes <= 256) or k >= 256:
                 break
@@ -207,11 +214,27 @@ def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
         # beyond ~32k tris accept chunked tables rather than huge leaves
         while n_leaves > MAX_LEAVES - 8:
             k *= 2
-            trav = build_trav(verts, max_leaf_tris=k)
+            trav = build_trav(verts, max_leaf_tris=k, bvh=bvh)
             n_nodes, n_leaves = trav.num_nodes, trav.num_leaves
 
-    supported = (n_nodes <= MAX_NODES and n_leaves <= MAX_LEAVES
+    # n_nodes strictly < MAX_NODES: node_info packs the skip link into 10
+    # bits and skip can equal n_nodes (the DONE sentinel) — at exactly
+    # 1024 nodes the sentinel wraps to 0 and the traversal loops forever
+    # (advisor r3)
+    supported = (n_nodes < MAX_NODES and n_leaves <= MAX_LEAVES
                  and m_cnt <= 128 and s_cnt <= 128)
+    # VMEM budget: tri_feat is (TF+1 incl. info, K, LC, 8, 128) resident
+    # per grid step; a scene can pass the count limits yet blow the ~16MB
+    # core VMEM at pallas_call compile instead of falling back to the
+    # megakernel as documented (advisor r3).  Conservative 10MB bound on
+    # the resident tables (outputs/scratch/accumulators take the rest).
+    lanes_b = 8 * 128 * 4
+    lc_est = max(1, -(-n_leaves // 128))
+    nc_est = max(1, -(-n_nodes // 128))
+    tbl_bytes = (k * lc_est * (TF_ROWS + 1) * lanes_b    # tri_feat+tri_info
+                 + nc_est * 4 * lanes_b                  # node_box+node_info
+                 + (M_ROWS + X_ROWS + SP_ROWS) * lanes_b)
+    supported = supported and tbl_bytes <= 10 * 2 ** 20
 
     tex_id = np.asarray(mat_texture_id).astype(np.int64)
     # textured-triangle side table: scene row -> slot (or NO_TEX)

@@ -130,8 +130,13 @@ def quad_exact_u8(img) -> bool:
     if v.min() < 0.0 or v.max() > 1.0:
         return False
     # exact round-trip test, not a tolerance: a float texture whose values
-    # merely sit NEAR the byte grid must keep the f32 table (advisor r2)
-    q = np.round(v * np.float32(255.0)) * np.float32(1.0 / 255.0)
+    # merely sit NEAR the byte grid must keep the f32 table (advisor r2).
+    # DIVISION by 255, not multiplication by (1/255): the loaders
+    # (io/image.py) and sample_quads' i32 decode both divide, and the two
+    # differ in f32 for 126 of 256 byte values (advisor r3) — the multiply
+    # form rejected every real u8 texture and silently disabled the packed
+    # fast path project-wide.
+    q = np.round(v * np.float32(255.0)) / np.float32(255.0)
     return bool(np.array_equal(q.astype(np.float32), v))
 
 

@@ -158,3 +158,29 @@ def test_sharded_wavefront2_grads_match_single_device(image_compare):
     for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=2e-6)
+
+
+def test_render_sharded_trav_matches(image_compare):
+    """Sharded trav bands (per-device pixel offsets through the per-lane
+    traversal kernel) == full-frame XLA (VERDICT r3 task 4: the trav
+    backend silently fell through to the round-1 intersect path)."""
+    cfg = RenderConfig(width=16, height=16, max_bounces=3, max_frames=1,
+                       draw_environment=True)
+    scene = build_tracer_scene(load_scene(2))
+    assert scene.trav_meta is not None and scene.trav_meta.supported
+    cam = Camera().spec(cfg.width, cfg.height)
+    mesh = make_mesh(4)
+    ref = render_dispatch(scene, cam, jnp.uint32(1), cfg, backend="xla")
+    out = render_sharded(scene, cam, jnp.uint32(1), cfg, mesh,
+                         backend="trav_interpret")
+    image_compare(np.asarray(ref), np.asarray(out))
+
+
+def test_render_sharded_unknown_backend_raises(setup):
+    """Unrecognized backend strings must be LOUD, not silently routed to
+    the round-1 pallas intersect path (VERDICT r3 weak #8)."""
+    scene, cam = setup
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="backend"):
+        render_sharded(scene, cam, jnp.uint32(1), CFG, mesh,
+                       backend="bogus")
