@@ -211,7 +211,7 @@ def make_kernel(n_chunks, reps, feat_dtype, do_post=True, do_mm=True):
 
 def run_variant(name, rays, tri_b, n_chunks, reps, feat_dtype,
                 do_post=True, do_mm=True, interpret=False):
-    acc = pltpu.VMEM((Q * 128, 8, 128), jnp.float32)
+    acc = pltpu.VMEM((Q * 128, 1024), jnp.float32)
     fn = pl.pallas_call(
         make_kernel(n_chunks, reps, feat_dtype, do_post, do_mm),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
@@ -262,7 +262,9 @@ def main():
                        jnp.float32)
 
     print(f"== timing on {platform} (interpret={interpret}) ==")
-    reps_lo, reps_hi = (1, 2) if interpret else (8, 24)
+    # slopes need each timed call well above the ~1 ms tunnel dispatch
+    # jitter: 256 vs 768 reps puts the difference at ~tens of ms
+    reps_lo, reps_hi = (1, 2) if interpret else (256, 768)
     for name, fd, dm, dp in (
             ("mm+post f32", jnp.float32, True, True),
             ("mm only f32", jnp.float32, True, False),
