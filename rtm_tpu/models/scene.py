@@ -140,6 +140,13 @@ class TracerScene:
     trav_arrays: object = None
     trav_meta: object = field(default=None, metadata=dict(static=True))
 
+    # MXU brute-force tables (ops/pallas/mxu_kernel.py, round 4): the
+    # Pluecker pair-test matmul rows + attribute gather chunks, in SCENE
+    # row order (no BVH permutation).  Same build/staleness contract as
+    # the trav tables; mxu_meta.supported False beyond <=2047 triangles.
+    mxu_arrays: object = None
+    mxu_meta: object = field(default=None, metadata=dict(static=True))
+
     # environment model: False = equirect sky map (shader:216-218); True =
     # the legacy kernel's procedural sun/sky (OldRayTracing.shader:119-136,
     # ops/shade.py procedural_sun_sky) — C28 parity option
@@ -308,11 +315,15 @@ def build_tracer_scene(scene: Scene, order: str = "bvh",
     # per-lane traversal structure (geometry tables + static meta) for the
     # trav kernel; material/texture/sphere side tables are traced per
     # dispatch so they never go stale under value optimization
+    from ..ops.pallas.mxu_kernel import build_mxu_tables
     from ..ops.pallas.trav_kernel import build_trav_tables
     tex_ids_np = np.array([m.texture_id for m in scene.materials],
                           np.int32) if scene.materials else np.zeros(
                               (0,), np.int32)
     tt = build_trav_tables(
+        tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
+        tex_ids_np, mats.count, len(sph_pos))
+    mt = build_mxu_tables(
         tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
         tex_ids_np, mats.count, len(sph_pos))
 
@@ -334,5 +345,7 @@ def build_tracer_scene(scene: Scene, order: str = "bvh",
         cluster_slices=cluster_slices,
         trav_arrays=jax.tree.map(jnp.asarray, tt.arrays),
         trav_meta=tt.meta,
+        mxu_arrays=jax.tree.map(jnp.asarray, mt.arrays),
+        mxu_meta=mt.meta,
         env_sun=(env_model == "sun"),
     )

@@ -1,0 +1,626 @@
+"""MXU brute-force path-tracing kernel — the round-4 forward path for
+small scenes (<= 2047 triangles).
+
+Round 3 proved per-lane BVH traversal correct but gather-latency-bound:
+each leaf k-step costs 9 `tpu.dynamic_gather`s (~7-10 ns each) and the
+lockstep rounds pay the tile-max leaf count.  The round-4 experiment
+(scripts/mxu_prefilter.py, MXU_PREFILTER_r04.json) showed the
+until-then-idle MXU runs the ray-triangle pair test as a matmul:
+
+  the Moller-Trumbore quantities are LINEAR in a 10-dim ray feature
+  vector f = [d, o x d, o, 1] (Pluecker form), so one
+  (Q*128, K) @ (K, 1024) f32 matmul per 128-triangle chunk computes
+  s1, s2, s3 (edge side tests; their sum is det = -d.n) and
+  tdet = (o - a).n for ALL pairs — measured EXACT vs the production
+  M-T sweep (mask parity 1.0) at 16 us/tile-bounce for 1856 triangles
+  where the megakernel's tile-uniform VPU sweep pays ~55 us.
+
+Per bounce, per (8,128)-vreg ray tile (1024 rays):
+  1. spheres: scalar SMEM loop (vreg_common.sphere_nearest_smem);
+  2. ray features written to a (16, 8, 128) scratch, read back as the
+     (16, 1024) matmul operand (one relayout per bounce);
+  3. fori over 128-triangle chunks: matmul -> (Q*128, 1024) scratch;
+     VPU min-chain with the triangle id packed into the t mantissa's low
+     11 bits so argmin rides the same min (t ordering approximated at
+     2^-12 + approx-reciprocal 2^-8; the winner is re-tested EXACTLY);
+  4. winner attributes (geometric n, a.n, shading normal, mat|texslot)
+     by chunked per-lane gather; exact t = ((o.n) - a.n)/(-d.n)
+     recovered in f32 — megakernel parity (exact plane recovery);
+  5. shade/scatter/records: the shared vreg_common semantics, identical
+     to the trav kernel; postpass shared (megakernel.mega_postpass).
+
+Brute force is O(T) with no tree, no lockstep waste and no per-pair
+gathers: the right trade exactly when T is small (the reference's own
+scenes are 2-1856 triangles).  render_dispatch auto-falls back to the
+megakernel/trav beyond the table limits (<= 2047 tris for the 11-bit
+index pack, <= 128 materials/textured-tris/spheres).
+
+Reference parity citations: RayTracing/assets/shaders/RayTracing.shader
+:285-303 (triangle test semantics), :486-548 (sphere + nearest-hit
+order: sphere wins ties), :550-673 (shading/scatter/sky), numerics
+identical to ops/pallas/megakernel.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RenderConfig
+from ...models.camera import CameraSpec
+from ..intersect import DET_EPS
+from .megakernel import (BIG, SEED_STRIDE, U32, _cross, _pack_camera,
+                         _select, mega_postpass, slot_to_xy, use_block8)
+from .trav_kernel import (_chunk_rep, _mk_lookup, traced_mat_tab,
+                          traced_sph_tabs, traced_tex_tab)
+from .vreg_common import (NO_TEX, camera_frame, fetch_mat_attrs,
+                          fetch_sph_attrs, jittered_ray, scatter_step,
+                          sphere_nearest_smem, tex_uv)
+
+RAY_TILE = 1024              # rays per grid step: one (8,128) vreg
+K = 16                       # ray feature depth: [d, oxd, o, 1] pad 10->16
+# Matmul precision: the MXU multiplies in bf16.  A single bf16 pass flips
+# ~4e-5 of near-edge side signs (measured: +3% radiance drift at 512^2);
+# Mosaic supports only DEFAULT/HIGHEST dot precision, and HIGHEST (full
+# f32, 6 passes) measured 2.4x the whole-frame cost.  So the kernel runs
+# the classic bf16x3 split MANUALLY, folded into ONE matmul by stacking
+# the contraction axis: lhs [A_hi | A_hi | A_lo] (static, host-built)
+# against rays [B_hi; B_lo; B_hi] — error ~2^-17 relative (f32-grade for
+# this geometry; the winner is exactly re-tested in f32 regardless).
+KS = 3 * K                   # stacked contraction depth
+Q = 4                        # matmul rows per tri: s1, s2, s3, tdet
+MAX_TRIS = 2047              # 11-bit index pack in the t mantissa
+IDX_MASK = 0x7FF
+
+# attribute gather table rows (mxu_attr)
+_A_NX, _A_NY, _A_NZ, _A_ANDOT = 0, 1, 2, 3
+_A_SNX, _A_SNY, _A_SNZ = 4, 5, 6
+A_ROWS = 8
+
+
+class MxuArrays(NamedTuple):
+    """Static GEOMETRY tables (host-built; vertex edits rebuild the
+    scene — material/texture/sphere side tables are traced per dispatch,
+    shared with the trav kernel)."""
+
+    pair: np.ndarray         # (NC, Q*128, K) f32 matmul lhs rows
+    attr: np.ndarray         # (A_ROWS, NC, 8, 128) f32 gather chunks
+    info: np.ndarray         # (NC, 8, 128) i32: mat | texslot<<8
+
+
+class MxuMeta(NamedTuple):
+    n_tris: int
+    nc: int                  # 128-triangle chunks
+    supported: bool
+    textured_rows: tuple     # scene rows with a textured material
+
+
+class MxuTables(NamedTuple):
+    arrays: MxuArrays
+    meta: MxuMeta
+
+
+def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
+                     mat_texture_id, n_materials: int,
+                     n_spheres: int) -> MxuTables:
+    """Pack the pair-test matmul rows + attribute gather tables from host
+    numpy arrays (SCENE row order — no BVH permutation)."""
+    t = len(tri_wa)
+    supported = (t <= MAX_TRIS and n_materials <= 128 and n_spheres <= 128)
+
+    tex_id = np.asarray(mat_texture_id).astype(np.int64)
+    textured_rows = (np.nonzero(tex_id[np.asarray(tri_mat,
+                                                  np.int64)] >= 0)[0]
+                     if t > 0 else np.zeros(0, np.int64))
+    if len(textured_rows) > 128:
+        supported = False
+        textured_rows = textured_rows[:128]
+    slot_of_row = np.full(max(t, 1), NO_TEX, np.int64)
+    slot_of_row[textured_rows] = np.arange(len(textured_rows))
+
+    if t > 0 and supported:
+        nc = -(-t // 128)
+        tp = nc * 128
+        a = np.zeros((tp, 3), np.float64)
+        b = np.zeros((tp, 3), np.float64)
+        c3 = np.zeros((tp, 3), np.float64)
+        a[:t] = tri_wa
+        b[:t] = tri_wb
+        c3[:t] = tri_wc
+        n = np.cross(b - a, c3 - a)          # zero rows for padding: det=0
+
+        # pair rows: reversed edges (c->b),(a->c),(b->a) make the side
+        # sum equal -d.n = det (the repo's backface gate); tdet = (o-a).n
+        rows = np.zeros((tp, Q, K), np.float64)
+        for qi, (p, qq) in enumerate(((c3, b), (a, c3), (b, a))):
+            rows[:, qi, 0:3] = np.cross(p, qq)      # on d
+            rows[:, qi, 3:6] = qq - p               # on m = o x d
+        rows[:, 3, 6:9] = n                         # tdet: + o.n
+        rows[:, 3, 9] = -(a * n).sum(-1)            # ... - a.n
+        # chunk layout: (nc, Q*128, K) with the 128-tri chunk minor,
+        # then the bf16x3 K-stack [A_hi | A_hi | A_lo] (see KS above)
+        pair_f32 = (rows.reshape(nc, 128, Q, K).transpose(0, 2, 1, 3)
+                    .reshape(nc, Q * 128, K).astype(np.float32))
+        import ml_dtypes
+        a_hi = pair_f32.astype(ml_dtypes.bfloat16)
+        a_lo = (pair_f32 - a_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        pair = np.concatenate([a_hi, a_hi, a_lo], axis=2)   # (nc,Q*128,KS)
+
+        nsh = np.zeros((tp, 3), np.float32)
+        nsh[:t] = tri_normal
+        attr_rows = np.zeros((A_ROWS, tp), np.float32)
+        attr_rows[_A_NX:_A_NZ + 1] = n.T.astype(np.float32)
+        attr_rows[_A_ANDOT] = (a * n).sum(-1).astype(np.float32)
+        attr_rows[_A_SNX:_A_SNZ + 1] = nsh.T
+        attr = _chunk_rep(attr_rows)                # (A_ROWS, NC, 8, 128)
+
+        info_rows = np.full((tp,), NO_TEX << 8, np.int64)
+        info_rows[:t] = (np.asarray(tri_mat, np.int64)
+                         | (slot_of_row[:t] << 8))
+        info = _chunk_rep(info_rows[None].astype(np.int32))[0]
+    else:
+        import ml_dtypes
+        nc = 1
+        pair = np.zeros((1, Q * 128, KS), ml_dtypes.bfloat16)
+        attr = np.zeros((A_ROWS, 1, 8, 128), np.float32)
+        info = np.full((1, 8, 128), NO_TEX << 8, np.int32)
+
+    return MxuTables(
+        MxuArrays(pair, attr, info),
+        MxuMeta(t, nc, supported,
+                tuple(int(r) for r in textured_rows)))
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
+                     max_bounces, max_frames, textured, width, height):
+    shape = (8, 128)
+
+    def kernel(*refs):
+        it = iter(refs)
+        camf = next(it)                       # (1,64) f32 SMEM
+        fidx = next(it)                       # (1,1)  u32 SMEM
+        pix0 = next(it)                       # (1,1)  i32 SMEM
+        if have_tris:
+            pair_ref = next(it)               # (NC, Q*128, K) f32
+            attr_ref = next(it)               # (A_ROWS, NC, 8, 128) f32
+            info_ref = next(it)               # (NC, 8, 128) i32
+        mat_tab = next(it)                    # (M_ROWS,8,128) f32
+        if textured:
+            tex_tab = next(it)                # (X_ROWS,8,128) f32
+        if have_sph:
+            sph_tab = next(it)                # (SP_ROWS,8,128) f32
+            sph_smem = next(it)               # (S_pad,16) f32 SMEM
+        color_ref = next(it)                  # (8,8,128)
+        miss_ref = next(it)                   # (8*F,8,128)
+        rec_ref = next(it) if textured else None   # (8*F*B,8,128)
+        rayf = next(it)                       # (K,8,128) f32 scratch
+        rayb = next(it)                       # (KS,8,128) bf16 scratch
+        acc_ref = next(it)                    # (Q*128,1024) f32 scratch
+        best_ref = next(it)                   # (8,1024) f32 scratch
+
+        if textured:
+            rec_ref[:, :, :] = jnp.zeros(
+                (8 * max_frames * max_bounces,) + shape, jnp.float32)
+            for fb in range(max_frames * max_bounces):
+                rec_ref[fb * 8 + 6] = jnp.full(shape, -1.0, jnp.float32)
+
+        frame_index = fidx[0, 0]
+        srow = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lrow = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        base = pl.program_id(0) * RAY_TILE + pix0[0, 0]
+        lin = base + srow * 128 + lrow
+        if use_block8(width, height):
+            xpix, ypix = slot_to_xy(lin, width)
+        else:
+            xpix = lin % width
+            ypix = lin // width
+        lin_u = (ypix * width + xpix).astype(U32)            # shader:697
+
+        basis = camera_frame(camf, width, height, xpix, ypix)
+        if have_tris:
+            rayf[9] = jnp.ones(shape, jnp.float32)
+            for j in range(10, K):
+                rayf[j] = jnp.zeros(shape, jnp.float32)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 1024), 0)
+
+        col_r = jnp.zeros(shape, jnp.float32)
+        col_g = jnp.zeros(shape, jnp.float32)
+        col_b = jnp.zeros(shape, jnp.float32)
+
+        def nearest_tri_mxu(ox, oy, oz, dx, dy, dz):
+            """All-pairs matmul sweep: returns (got, win_idx, t_exact
+            ingredients via gathers are done by the caller).  Results are
+            (8,128) i32/bool in ray-vreg layout."""
+            mx, my, mz = _cross(ox, oy, oz, dx, dy, dz)
+            rayf[0] = dx
+            rayf[1] = dy
+            rayf[2] = dz
+            rayf[3] = mx
+            rayf[4] = my
+            rayf[5] = mz
+            rayf[6] = ox
+            rayf[7] = oy
+            rayf[8] = oz
+            # bf16x3 ray-side stack [B_hi; B_lo; B_hi] (see KS docstring)
+            b32 = rayf[...]
+            b_hi = b32.astype(jnp.bfloat16)
+            b_lo = (b32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            rayb[0:K] = b_hi
+            rayb[K:2 * K] = b_lo
+            rayb[2 * K:3 * K] = b_hi
+            rm = rayb[...].reshape(KS, RAY_TILE)
+            best_ref[...] = jnp.full((8, RAY_TILE), BIG, jnp.float32)
+
+            def chunk_body(c, _):
+                # bf16 inputs, f32 accumulate: one MXU pass over the
+                # KS-stacked operands IS the bf16x3 algorithm (the KS
+                # docstring above); measured f32-parity radiance where
+                # the naive f32 DEFAULT (bf16x1) drifted +3%
+                acc_ref[...] = jax.lax.dot_general(
+                    pair_ref[c], rm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                best = best_ref[...]
+                for t0 in range(0, 128, 8):
+                    s1 = acc_ref[t0:t0 + 8]
+                    s2 = acc_ref[128 + t0:128 + t0 + 8]
+                    s3 = acc_ref[256 + t0:256 + t0 + 8]
+                    td = acc_ref[384 + t0:384 + t0 + 8]
+                    det = s1 + s2 + s3
+                    m = jnp.minimum(jnp.minimum(s1, s2),
+                                    jnp.minimum(s3, td))
+                    tt = td * pl.reciprocal(
+                        jnp.maximum(det, DET_EPS), approx=True)
+                    ok = (m >= 0.0) & (det > DET_EPS)
+                    ti = rowi + (c * 128 + t0)
+                    packed = jax.lax.bitcast_convert_type(
+                        jnp.bitwise_or(
+                            jnp.bitwise_and(
+                                jax.lax.bitcast_convert_type(tt, jnp.int32),
+                                jnp.int32(~IDX_MASK)),
+                            ti), jnp.float32)
+                    best = jnp.minimum(best, jnp.where(ok, packed, BIG))
+                best_ref[...] = best
+                return 0
+
+            jax.lax.fori_loop(0, nc, chunk_body, 0)
+            bmin = jnp.min(best_ref[...].reshape(8, 8, 128), axis=0)
+            got = bmin < np.float32(1e29)
+            win = jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(bmin, jnp.int32),
+                jnp.int32(IDX_MASK))
+            return got, jnp.clip(win, 0, max(n_tris - 1, 0))
+
+        for frame in range(1, max_frames + 1):
+            seed = lin_u + U32(frame) * frame_index * SEED_STRIDE
+            ox, oy, oz, dx, dy, dz, seed = jittered_ray(seed, basis)
+
+            ctr_r = jnp.ones(shape, jnp.float32)
+            ctr_g = jnp.ones(shape, jnp.float32)
+            ctr_b = jnp.ones(shape, jnp.float32)
+            alive = jnp.ones(shape, jnp.bool_)
+            m_dx = jnp.zeros(shape, jnp.float32)
+            m_dy = jnp.zeros(shape, jnp.float32)
+            m_dz = jnp.zeros(shape, jnp.float32)
+            m_cr = jnp.zeros(shape, jnp.float32)
+            m_cg = jnp.zeros(shape, jnp.float32)
+            m_cb = jnp.zeros(shape, jnp.float32)
+
+            for b in range(max_bounces):
+                seed = seed + U32(b)                         # shader:659
+
+                if have_sph:
+                    t_sph, s_idx = sphere_nearest_smem(
+                        sph_smem, n_sph_pad, shape, ox, oy, oz, dx, dy, dz)
+                else:
+                    t_sph = jnp.full(shape, BIG)
+                    s_idx = jnp.zeros(shape, jnp.int32)
+
+                if have_tris:
+                    got, win = nearest_tri_mxu(ox, oy, oz, dx, dy, dz)
+                    # winner attributes + EXACT t recovery (the packed t
+                    # was approx-reciprocal + 11 masked mantissa bits,
+                    # ordering-only)
+                    wlk = _mk_lookup(win, nc)
+                    w_nx = wlk(lambda c: attr_ref[_A_NX, c])
+                    w_ny = wlk(lambda c: attr_ref[_A_NY, c])
+                    w_nz = wlk(lambda c: attr_ref[_A_NZ, c])
+                    w_an = wlk(lambda c: attr_ref[_A_ANDOT, c])
+                    w_snx = wlk(lambda c: attr_ref[_A_SNX, c])
+                    w_sny = wlk(lambda c: attr_ref[_A_SNY, c])
+                    w_snz = wlk(lambda c: attr_ref[_A_SNZ, c])
+                    w_info = wlk(lambda c: info_ref[c])
+                    det_w = -(dx * w_nx + dy * w_ny + dz * w_nz)
+                    tdet_w = ox * w_nx + oy * w_ny + oz * w_nz - w_an
+                    t_ex = tdet_w / jnp.maximum(det_w, DET_EPS)
+                    # sphere wins ties: triangle improve is strict <
+                    use_tri = (got & alive & (det_w > DET_EPS)
+                               & (tdet_w >= 0.0) & (t_ex < t_sph))
+                    t_hit = _select(use_tri, t_ex, t_sph)
+                    winfo = _select(use_tri, w_info,
+                                    jnp.full(shape, NO_TEX << 8, jnp.int32))
+                else:
+                    use_tri = jnp.zeros(shape, jnp.bool_)
+                    t_hit = t_sph
+                    winfo = jnp.full(shape, NO_TEX << 8, jnp.int32)
+
+                hit = alive & (t_hit < BIG)
+                t_safe = _select(hit, t_hit, 0.0)
+                hx = ox + t_safe * dx
+                hy = oy + t_safe * dy
+                hz = oz + t_safe * dz
+
+                use_t = use_tri.astype(jnp.float32)
+                use_s = (hit & (~use_tri)).astype(jnp.float32)
+
+                if have_tris:
+                    mid = winfo & 0xFF
+                    mlk = _mk_lookup(mid, 1)
+                    (t_al_r, t_al_g, t_al_b, t_em_r, t_em_g, t_em_b,
+                     t_emp, t_rough, t_metal, t_refr,
+                     t_tex) = fetch_mat_attrs(mlk, mat_tab)
+                else:
+                    zero = jnp.zeros(shape, jnp.float32)
+                    t_al_r = t_al_g = t_al_b = zero
+                    t_em_r = t_em_g = t_em_b = zero
+                    t_emp = t_rough = t_metal = t_refr = zero
+                    t_tex = zero - 1.0
+
+                if have_sph:
+                    slk = _mk_lookup(s_idx, 1)
+                    (scx, scy, scz, s_al_r, s_al_g, s_al_b, s_em_r, s_em_g,
+                     s_em_b, s_emp, s_rough, s_metal, s_refr,
+                     s_tex) = fetch_sph_attrs(slk, sph_tab)
+                    from .megakernel import _normalize
+                    snx, sny, snz = _normalize(hx - scx, hy - scy, hz - scz)
+                else:
+                    zero = jnp.zeros(shape, jnp.float32)
+                    s_al_r = s_al_g = s_al_b = zero
+                    s_em_r = s_em_g = s_em_b = zero
+                    s_emp = s_rough = s_metal = s_refr = zero
+                    s_tex = zero - 1.0
+                    snx = sny = snz = zero
+
+                if have_tris:
+                    nxh = w_snx * use_t + snx * use_s
+                    nyh = w_sny * use_t + sny * use_s
+                    nzh = w_snz * use_t + snz * use_s
+                else:
+                    nxh, nyh, nzh = snx * use_s, sny * use_s, snz * use_s
+
+                alr = t_al_r * use_t + s_al_r * use_s
+                alg = t_al_g * use_t + s_al_g * use_s
+                alb = t_al_b * use_t + s_al_b * use_s
+                emr = t_em_r * use_t + s_em_r * use_s
+                emg = t_em_g * use_t + s_em_g * use_s
+                emb = t_em_b * use_t + s_em_b * use_s
+                emp = t_emp * use_t + s_emp * use_s
+                rough = t_rough * use_t + s_rough * use_s
+                metal = t_metal * use_t + s_metal * use_s
+                refr = t_refr * use_t + s_refr * use_s
+                texid = (t_tex * use_t + s_tex * use_s
+                         + (-1.0) * (1.0 - use_t - use_s))
+
+                live = alive & hit
+                miss_now = alive & (~hit)
+
+                m_dx = _select(miss_now, dx, m_dx)
+                m_dy = _select(miss_now, dy, m_dy)
+                m_dz = _select(miss_now, dz, m_dz)
+                m_cr = _select(miss_now, ctr_r, m_cr)
+                m_cg = _select(miss_now, ctr_g, m_cg)
+                m_cb = _select(miss_now, ctr_b, m_cb)
+
+                if textured:
+                    has_tex = (texid > -0.5) & live
+                    livef = live.astype(jnp.float32)
+                    htf = has_tex.astype(jnp.float32)
+                    s_r = ctr_r * _select(has_tex, emp, emr * emp) * livef
+                    s_g = ctr_g * _select(has_tex, emp, emg * emp) * livef
+                    s_b_ = ctr_b * _select(has_tex, emp, emb * emp) * livef
+                    if have_tris:
+                        slot = jnp.clip(
+                            jax.lax.shift_right_logical(winfo, 8), 0, 127)
+                        xlk = _mk_lookup(slot, 1)
+                        uu, vv = tex_uv(xlk, tex_tab, ox, oy, oz,
+                                        dx, dy, dz)
+                    else:
+                        uu = vv = jnp.zeros(shape, jnp.float32)
+                    ra = uu * use_t + snx * use_s
+                    rb = vv * use_t + sny * use_s
+                    rc = snz * use_s
+                    row = ((frame - 1) * max_bounces + b) * 8
+                    rec_ref[row + 0] = s_r
+                    rec_ref[row + 1] = s_g
+                    rec_ref[row + 2] = s_b_
+                    rec_ref[row + 3] = ra
+                    rec_ref[row + 4] = rb
+                    rec_ref[row + 5] = rc
+                    rec_ref[row + 6] = _select(has_tex, texid,
+                                               jnp.float32(-1.0))
+                    rec_ref[row + 7] = use_s * htf
+                    keep = 1.0 - livef * (1.0 - htf)
+                    ctr_r = ctr_r * (keep + livef * (1.0 - htf) * alr)
+                    ctr_g = ctr_g * (keep + livef * (1.0 - htf) * alg)
+                    ctr_b = ctr_b * (keep + livef * (1.0 - htf) * alb)
+                else:
+                    livef = live.astype(jnp.float32)
+                    col_r = col_r + emr * emp * ctr_r * livef
+                    col_g = col_g + emg * emp * ctr_g * livef
+                    col_b = col_b + emb * emp * ctr_b * livef
+                    ctr_r = ctr_r * (1.0 - livef + livef * alr)
+                    ctr_g = ctr_g * (1.0 - livef + livef * alg)
+                    ctr_b = ctr_b * (1.0 - livef + livef * alb)
+
+                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_seed = scatter_step(
+                    dx, dy, dz, nxh, nyh, nzh, hx, hy, hz,
+                    rough, metal, refr, seed)
+
+                ox = _select(live, n_ox, ox)
+                oy = _select(live, n_oy, oy)
+                oz = _select(live, n_oz, oz)
+                dx = _select(live, n_dx, dx)
+                dy = _select(live, n_dy, dy)
+                dz = _select(live, n_dz, dz)
+                seed = jnp.where(live, n_seed, seed)
+                alive = live
+
+            frow = (frame - 1) * 8
+            miss_ref[frow + 0] = m_dx
+            miss_ref[frow + 1] = m_dy
+            miss_ref[frow + 2] = m_dz
+            miss_ref[frow + 3] = m_cr
+            miss_ref[frow + 4] = m_cg
+            miss_ref[frow + 5] = m_cb
+            miss_ref[frow + 6] = (
+                (m_dx * m_dx + m_dy * m_dy + m_dz * m_dz) > 0.0
+            ).astype(jnp.float32)
+            miss_ref[frow + 7] = jnp.zeros(shape, jnp.float32)
+
+        color_ref[0] = col_r
+        color_ref[1] = col_g
+        color_ref[2] = col_b
+        for j in range(3, 8):
+            color_ref[j] = jnp.zeros(shape, jnp.float32)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver: pallas_call + shared XLA post-pass
+# ---------------------------------------------------------------------------
+
+def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
+                    pixel_offset, n_rays: int, interpret: bool = False,
+                    skip_postpass: bool = False):
+    """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) — same
+    contract as megakernel.render_rays_megakernel / render_rays_trav."""
+    w, h = cfg.width, cfg.height
+    n = n_rays
+    n_pad = -(-n // RAY_TILE) * RAY_TILE
+    n_tiles = n_pad // RAY_TILE
+    bounces = cfg.max_bounces
+    frames = cfg.max_frames
+    textured = scene.any_textured
+
+    ma = scene.mxu_arrays
+    mm = scene.mxu_meta
+    assert ma is not None and mm.supported, "scene unsupported by mxu"
+    have_tris = mm.n_tris > 0
+    have_sph = int(scene.sph_pos.shape[0]) > 0
+
+    camf = _pack_camera(cam)
+    fidx = jnp.asarray(frame_index, jnp.uint32).reshape(1, 1)
+    pix0 = jnp.asarray(pixel_offset, jnp.int32).reshape(1, 1)
+
+    const2 = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 64), const2, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), const2, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), const2, memory_space=pltpu.SMEM),
+    ]
+    inputs = [camf, fidx, pix0]
+
+    def vmem_full(arr):
+        nd = arr.ndim
+        in_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, nd=nd: (0,) * nd, memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(arr))
+
+    if have_tris:
+        vmem_full(ma.pair)
+        vmem_full(ma.attr)
+        vmem_full(ma.info)
+    vmem_full(traced_mat_tab(scene.materials))
+    if textured:
+        vmem_full(traced_tex_tab(scene, mm.textured_rows))
+    n_sph_pad = 0
+    if have_sph:
+        sph_tab, sph_smem = traced_sph_tabs(scene)
+        n_sph_pad = sph_smem.shape[0]
+        vmem_full(sph_tab)
+        in_specs.append(pl.BlockSpec((n_sph_pad, 16), const2,
+                                     memory_space=pltpu.SMEM))
+        inputs.append(sph_smem)
+
+    out_shape = [jax.ShapeDtypeStruct((8, n_tiles * 8, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((8 * frames, n_tiles * 8, 128),
+                                      jnp.float32)]
+    out_specs = [pl.BlockSpec((8, 8, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((8 * frames, 8, 128), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)]
+    if textured:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (8 * frames * bounces, n_tiles * 8, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((8 * frames * bounces, 8, 128),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = _make_mxu_kernel(
+        n_tris=mm.n_tris, nc=mm.nc, n_sph_pad=n_sph_pad,
+        have_tris=have_tris, have_sph=have_sph,
+        max_bounces=bounces, max_frames=frames, textured=textured,
+        width=w, height=h)
+
+    scratch = [
+        pltpu.VMEM((K, 8, 128), jnp.float32),       # ray features f32
+        pltpu.VMEM((KS, 8, 128), jnp.bfloat16),     # bf16x3 K-stack
+        pltpu.VMEM((Q * 128, RAY_TILE), jnp.float32),   # matmul chunk out
+        pltpu.VMEM((8, RAY_TILE), jnp.float32),     # packed best (8 rows)
+    ]
+
+    try:
+        cparams = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    except TypeError:                                     # older jax
+        cparams = None
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **({"compiler_params": cparams} if cparams else {}),
+    )(*inputs)
+
+    if textured:
+        main, miss, rec = outs
+        rec = rec.reshape(8 * frames * bounces, n_pad)
+    else:
+        main, miss = outs
+        rec = None
+    main = main.reshape(8, n_pad)
+    miss = miss.reshape(8 * frames, n_pad)
+
+    color = main[0:3, :n].T                              # (N,3)
+    if skip_postpass:
+        extra = jnp.sum(miss[:1, :1])
+        if rec is not None:
+            extra = extra + jnp.sum(rec[:1, :1])
+        out = color + extra * jnp.float32(1e-30)
+    else:
+        out = mega_postpass(color, miss, rec, scene, cfg, n)
+    return out
+
+
+def render_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
+               interpret: bool = False):
+    """Full-frame forward dispatch through the MXU kernel. Returns
+    (H, W, 3) f32 radiance — same contract as render_megakernel."""
+    from .megakernel import slots_to_image
+    color = render_rays_mxu(
+        scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
+        n_rays=cfg.width * cfg.height, interpret=interpret)
+    if use_block8(cfg.width, cfg.height):
+        return slots_to_image(color, cfg.width, cfg.height)
+    return color.reshape(cfg.height, cfg.width, 3)

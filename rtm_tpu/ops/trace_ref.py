@@ -287,6 +287,9 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
     frame_index: traced uint32 scalar (1-based accumulation counter).
     backend: 'xla' | 'pallas' | 'pallas_interpret' (see bounce_payload) |
     'megakernel' | 'megakernel_interpret' (fully-fused forward path) |
+    'mxu' | 'mxu_interpret' (round-4 MXU brute-force pair-test kernel,
+    <=2047 triangles, falls back to trav then megakernel) |
+    'trav' | 'trav_interpret' (per-lane BVH traversal) |
     'wavefront2' | 'wavefront2_interpret' (sorted wavefront: slim sweep
     kernel + XLA shading — the differentiable production path); the
     fused/wavefront paths fall back to the XLA path for the MaxBounces==1
@@ -296,6 +299,14 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
     role; its per-bounce-kernel idea lives on in wavefront2.)
     Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples.
     """
+    if backend.startswith("mxu") and cfg.max_bounces > 1:
+        mm = scene.mxu_meta
+        if mm is not None and mm.supported:
+            from .pallas.mxu_kernel import render_mxu
+            return render_mxu(scene, cam, frame_index, cfg,
+                              interpret=(backend == "mxu_interpret"))
+        backend = ("trav_interpret"                # table-limit fallback
+                   if backend.endswith("_interpret") else "trav")
     if backend.startswith("trav") and cfg.max_bounces > 1:
         tm = scene.trav_meta
         if tm is not None and tm.supported:
@@ -314,7 +325,7 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
         return render_wavefront2(
             scene, cam, frame_index, cfg,
             interpret=(backend == "wavefront2_interpret"))
-    if backend.startswith(("megakernel", "wavefront", "trav")):
+    if backend.startswith(("megakernel", "wavefront", "trav", "mxu")):
         backend = "xla"                      # flat-shade preview fallback
     x, y = pixel_grid(cfg.width, cfg.height)
     incoming = render_pixels(scene, cam, x, y, frame_index, cfg, chunk,

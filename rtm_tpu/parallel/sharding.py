@@ -74,6 +74,11 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
     frame_index = jnp.asarray(frame_index, jnp.uint32)
     n = cfg.num_pixels
 
+    if backend.startswith("mxu") and cfg.max_bounces > 1:
+        mm = scene.mxu_meta
+        if mm is None or not mm.supported:
+            backend = ("trav_interpret"
+                       if backend.endswith("_interpret") else "trav")
     if backend.startswith("trav") and cfg.max_bounces > 1:
         # table-limit fallback mirrors render_dispatch: unsupported scenes
         # band-dispatch through the megakernel instead (VERDICT r3 task 4)
@@ -82,7 +87,7 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
             backend = ("megakernel_interpret"
                        if backend.endswith("_interpret") else "megakernel")
 
-    if (backend.startswith(("megakernel", "wavefront", "trav"))
+    if (backend.startswith(("megakernel", "wavefront", "trav", "mxu"))
             and cfg.max_bounces > 1):
         # fused-kernel paths: each device runs the kernel on a contiguous
         # dispatch-slot band (same kernel, per-band offset; slots walk 8x8
@@ -92,6 +97,8 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
             from ..ops.wavefront2 import render_rays_wavefront2 as rr
         elif backend.startswith("trav"):
             from ..ops.pallas.trav_kernel import render_rays_trav as rr
+        elif backend.startswith("mxu"):
+            from ..ops.pallas.mxu_kernel import render_rays_mxu as rr
         else:
             from ..ops.pallas.megakernel import render_rays_megakernel as rr
         from ..ops.pallas.megakernel import slots_to_image, use_block8
