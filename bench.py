@@ -47,12 +47,14 @@ def main() -> None:
     repeats = int(os.environ.get("RTM_BENCH_REPEATS", 20))
 
     if backend == "auto":
-        # committed A/B at the headline config (BENCH_BACKENDS_r03.json,
-        # TPU v5e): megakernel 162 ms/frame vs trav 183 vs the r2-retired
-        # wavefront paths — megakernel remains the fastest forward path;
-        # the trav kernel wins on early-terminating scenes and is the
-        # scaling path for larger scenes (O(log T) vs O(T)).
-        backend = ("megakernel" if jax.devices()[0].platform == "tpu"
+        # committed interleaved A/B at the headline config
+        # (BENCH_BACKENDS_r04.json, TPU v5e): mxu 67.7 ms/frame vs
+        # megakernel 112.2 vs trav 185.9 — the round-4 MXU brute-force
+        # kernel is the fastest forward path for scenes inside its
+        # <=2047-triangle table limit (every built-in scene); beyond it
+        # render_dispatch auto-falls back trav -> megakernel (O(log T)
+        # scaling paths for large scenes).
+        backend = ("mxu" if jax.devices()[0].platform == "tpu"
                    else "xla")
 
     from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
@@ -76,24 +78,37 @@ def main() -> None:
     out = dispatch(jnp.uint32(1))
     _ = float(jnp.asarray(out).ravel()[0])
 
-    t0 = time.perf_counter()
-    for i in range(repeats):
-        out = dispatch(jnp.uint32(2 + i))
-    jax.block_until_ready(out)
-    _ = float(out.ravel()[0])
-    dt = time.perf_counter() - t0
-
-    rays = width * height * spp * bounces * repeats
-    grays_per_s = rays / dt / 1e9
+    # dispersion protocol (VERDICT r3 task 3): `blocks` independent timed
+    # blocks of `repeats` frames each; report the MEDIAN block rate with
+    # min/max spread so single-number session-variance artifacts (the r3
+    # 112-vs-162 same-config discrepancy) are visible in the output.
+    blocks = int(os.environ.get("RTM_BENCH_BLOCKS", 5))
+    rates = []
+    fi = 2
+    for _b in range(blocks):
+        t0 = time.perf_counter()
+        for _i in range(repeats):
+            out = dispatch(jnp.uint32(fi))
+            fi += 1
+        jax.block_until_ready(out)
+        _ = float(out.ravel()[0])
+        dt = time.perf_counter() - t0
+        rates.append(width * height * spp * bounces * repeats / dt / 1e9)
+    rates.sort()
+    med = rates[len(rates) // 2]
     print(json.dumps({
         "metric": "cornell_grays_per_s",
-        "value": round(grays_per_s, 4),
+        "value": round(med, 4),
         "unit": "Grays/s/chip",
-        "vs_baseline": round(grays_per_s / 2.0, 4),
+        "vs_baseline": round(med / 2.0, 4),
+        "spread": {"min": round(rates[0], 4), "max": round(rates[-1], 4),
+                   "blocks": blocks, "repeats_per_block": repeats},
     }))
     print(f"# platform={jax.devices()[0].platform} backend={backend} "
-          f"{width}x{height} bounces={bounces} spp={spp} repeats={repeats} "
-          f"wall={dt:.3f}s ms/frame={1e3 * dt / repeats:.2f}",
+          f"{width}x{height} bounces={bounces} spp={spp} "
+          f"median ms/frame={width * height * spp * bounces / med / 1e6:.2f} "
+          f"(min {width * height * spp * bounces / rates[-1] / 1e6:.2f} / "
+          f"max {width * height * spp * bounces / rates[0] / 1e6:.2f})",
           file=sys.stderr)
 
 

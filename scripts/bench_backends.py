@@ -1,8 +1,14 @@
-"""Compare forward backends on the real device at the headline config.
+"""Interleaved A/B backend comparison at the headline config.
 
 Usage: python scripts/bench_backends.py [backend ...]
-Defaults to megakernel + wavefront at the BASELINE.md headline
-(scene 3, 512x512, 8 bounces, spp 1).  Prints one JSON line per backend.
+Defaults to mxu + megakernel + trav + wavefront2 at the BASELINE.md
+headline (scene 3, 512x512, 8 bounces, spp 1).
+
+Protocol (VERDICT r3 task 3): after compiling every backend, timed
+blocks ALTERNATE between backends round-robin (A B C A B C ...) so slow
+device-session drift hits all rows equally, with >=5 blocks per backend;
+each row reports the MEDIAN block ms/frame plus min/max spread.  Writes
+BENCH_BACKENDS_r04.json.
 """
 from __future__ import annotations
 
@@ -30,8 +36,9 @@ def main() -> None:
     bounces = int(os.environ.get("RTM_BENCH_BOUNCES", 8))
     spp = int(os.environ.get("RTM_BENCH_SPP", 1))
     scene_id = int(os.environ.get("RTM_BENCH_SCENE", 3))
-    repeats = int(os.environ.get("RTM_BENCH_REPEATS", 20))
-    backends = sys.argv[1:] or ["wavefront2", "megakernel"]
+    repeats = int(os.environ.get("RTM_BENCH_REPEATS", 10))
+    blocks = int(os.environ.get("RTM_BENCH_BLOCKS", 5))
+    backends = sys.argv[1:] or ["mxu", "megakernel", "trav", "wavefront2"]
 
     from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
     from rtm_tpu.ops.trace_ref import render_dispatch
@@ -41,36 +48,65 @@ def main() -> None:
     scene = build_tracer_scene(load_scene(scene_id))
     cam = Camera().spec(cfg.width, cfg.height)
 
+    # render_dispatch is itself @jax.jit (static cfg/backend, traced
+    # scene/cam/frame_index); re-wrapping in a jit that closes over scene
+    # would bake the texture tables into the HLO (remote-compile 413s)
+    def dispatch(backend, fi):
+        return render_dispatch(scene, cam, fi, cfg, backend=backend)
+
+    # phase 1: compile everything up front
+    compile_s = {}
+    mean_rad = {}
     for backend in backends:
-        # render_dispatch is itself @jax.jit (static cfg/backend, traced
-        # scene/cam/frame_index), so each repeat hits the compiled
-        # executable; re-wrapping in another jit whose lambda closes over
-        # scene would bake the scene arrays into the HLO as constants
-        # (25MB+ of texture tables -> remote-compile 413s).
-        def dispatch(fi):
-            return render_dispatch(scene, cam, fi, cfg, backend=backend)
-
         t0 = time.perf_counter()
-        out = dispatch(jnp.uint32(1))
-        _ = float(jnp.asarray(out).ravel()[0])
-        compile_s = time.perf_counter() - t0
+        out = dispatch(backend, jnp.uint32(1))
+        mean_rad[backend] = float(jnp.asarray(out).mean())
+        compile_s[backend] = round(time.perf_counter() - t0, 1)
+        print(f"# compiled {backend} in {compile_s[backend]}s "
+              f"(mean radiance {mean_rad[backend]:.6f})", flush=True)
 
-        t0 = time.perf_counter()
-        for i in range(repeats):
-            out = dispatch(jnp.uint32(2 + i))
-        jax.block_until_ready(out)
-        mean = float(out.mean())
-        dt = time.perf_counter() - t0
+    # phase 2: interleaved timed blocks (round-robin)
+    times = {b: [] for b in backends}
+    fi = 2
+    for blk in range(blocks):
+        for backend in backends:
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                out = dispatch(backend, jnp.uint32(fi))
+                fi += 1
+            jax.block_until_ready(out)
+            _ = float(out.ravel()[0])
+            times[backend].append((time.perf_counter() - t0) / repeats * 1e3)
 
-        rays = width * height * spp * bounces * repeats
-        print(json.dumps({
+    rows = []
+    rays = width * height * spp * bounces
+    for backend in backends:
+        ts = sorted(times[backend])
+        med = ts[len(ts) // 2]
+        row = {
             "backend": backend,
-            "ms_per_frame": round(1e3 * dt / repeats, 3),
-            "grays_per_s": round(rays / dt / 1e9, 4),
-            "compile_s": round(compile_s, 1),
-            "mean_radiance": round(mean, 6),
+            "ms_per_frame": round(med, 3),
+            "ms_min": round(ts[0], 3),
+            "ms_max": round(ts[-1], 3),
+            "grays_per_s": round(rays / med / 1e6, 4),
+            "compile_s": compile_s[backend],
+            "mean_radiance": round(mean_rad[backend], 6),
             "platform": jax.devices()[0].platform,
-        }), flush=True)
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out_path = os.environ.get("RTM_BENCH_OUT", "BENCH_BACKENDS_r04.json")
+    with open(out_path, "w") as f:
+        json.dump({
+            "config": f"scene {scene_id} (Cornell+dragon), {width}x{height},"
+                      f" {bounces} bounces, spp {spp}, TPU v5e",
+            "protocol": f"interleaved round-robin A/B, {blocks} blocks x "
+                        f"{repeats} frames per backend, median + min/max "
+                        "per row (VERDICT r3 task 3)",
+            "rows": rows,
+        }, f, indent=1)
+    print(f"# wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -80,8 +80,11 @@ def main():
     color, miss, rec = (jax.device_put(outs[k])
                         for k in ("color", "miss", "rec"))
 
-    full = jax.jit(functools.partial(orig, scene=scene, cfg=cfg, n=n))
-    timeit("postpass full", full, color, miss, rec)
+    # scene must be a jit ARGUMENT: closing over it bakes the texture
+    # tables into the HLO and the axon tunnel rejects it with HTTP 413
+    full = jax.jit(lambda color, miss, rec, sc: orig(color, miss, rec,
+                                                     sc, cfg, n))
+    timeit("postpass full", full, color, miss, rec, scene)
 
     # stage A: per-bounce uv prep (elementwise) only
     @jax.jit
@@ -109,7 +112,7 @@ def main():
 
     # stage B: the stacked texture tap on realistic uv/ids
     @jax.jit
-    def tap_only(rec):
+    def tap_only(rec, sc):
         uus, vvs, tids = [], [], []
         for b in range(BOUNCES):
             row = b * 8
@@ -119,25 +122,25 @@ def main():
             vvs.append(jnp.where(has_tex, rec[row + 4, :n], 0.0))
             tids.append(jnp.where(has_tex, texid.astype(jnp.int32), 0))
         tex = shade.sample_texture_quads(
-            scene.tex_quads, scene.tex_size,
+            sc.tex_quads, sc.tex_size,
             scene.textures.shape[1], scene.textures.shape[2],
             jnp.stack(tids), jnp.stack(uus), jnp.stack(vvs))
         return tex.sum()
 
-    timeit("stage B: prep + stacked texture tap", tap_only, rec)
+    timeit("stage B: prep + stacked texture tap", tap_only, rec, scene)
 
     # stage C: sky only
     @jax.jit
-    def sky_only(miss):
+    def sky_only(miss, sc):
         mdir = miss[0:3, :n].T
         mmask = miss[6, :n] > 0.5
         mdir = jnp.where(mmask[:, None], mdir,
                          jnp.array([1.0, 0.0, 0.0], jnp.float32))
-        return shade.sky_color_quads(mdir, scene.sky_quads,
+        return shade.sky_color_quads(mdir, sc.sky_quads,
                                      scene.sky.shape[0],
                                      scene.sky.shape[1]).sum()
 
-    timeit("stage C: sky tap", sky_only, miss)
+    timeit("stage C: sky tap", sky_only, miss, scene)
 
     # stats: textured-tap fraction per bounce
     r = np.asarray(rec)

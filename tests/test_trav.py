@@ -130,3 +130,101 @@ def test_trav_dead_lane_early_exit_correct():
     d = np.abs(ref - got)
     assert d.mean() < 5e-3 and np.mean(d.max(-1) > 2e-2) < 0.01, (
         d.mean(), d.max())
+
+
+# ---------------------------------------------------------------------------
+# Round-4 coverage broadening (VERDICT r3 task 5): oracle matrix at
+# megakernel parity — scenes 1-4, spp>1, table-limit fallback, and a
+# property test of the conservative bf16 box packing.
+# ---------------------------------------------------------------------------
+
+def _compare_trav(sid, res=32, bounces=4, frames=1, outlier_frac=0.01,
+                  frame_index=1):
+    import jax.numpy as jnp
+
+    from rtm_tpu import Camera, RenderConfig, build_tracer_scene
+    from rtm_tpu.models.scenes import load_scene as load
+    from rtm_tpu.ops.trace_ref import render_dispatch
+
+    scene = build_tracer_scene(load(sid))
+    cam = Camera().spec(res, res)
+    cfg = RenderConfig(width=res, height=res, max_bounces=bounces,
+                       max_frames=frames, draw_environment=True)
+    ref = np.asarray(render_dispatch(scene, cam, jnp.uint32(frame_index),
+                                     cfg, backend="xla"))
+    tv = np.asarray(render_dispatch(scene, cam, jnp.uint32(frame_index),
+                                    cfg, backend="trav_interpret"))
+    assert np.isfinite(tv).all()
+    d = np.abs(ref - tv)
+    frac_bad = float((d.max(axis=-1) > 1e-3).mean())
+    assert frac_bad <= outlier_frac, (frac_bad, float(d.max()))
+    np.testing.assert_allclose(tv.mean(), ref.mean(), rtol=3e-3)
+
+
+def test_trav_scene1_spheres_oracle():
+    """Spheres only (no triangle tables): sphere tie semantics."""
+    _compare_trav(1, bounces=4)
+
+
+def test_trav_scene3_cornell_textured_oracle():
+    """The headline scene through the trav textured-record branch."""
+    _compare_trav(3, bounces=4)
+
+
+def test_trav_scene4_dragon_oracle():
+    _compare_trav(4, bounces=4)
+
+
+def test_trav_multi_sample_oracle():
+    """spp > 1: per-frame record rows + seed schedule through trav."""
+    _compare_trav(2, frames=3, bounces=3)
+
+
+def test_trav_table_limit_fallback_dispatch():
+    """An unsupported scene must fall back to the megakernel inside
+    render_dispatch rather than assert in the trav driver."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from rtm_tpu import Camera, RenderConfig, build_tracer_scene
+    from rtm_tpu.models.scenes import load_scene as load
+    from rtm_tpu.ops.pallas import trav_kernel as tk
+    from rtm_tpu.ops.trace_ref import render_dispatch
+
+    scene = build_tracer_scene(load(2))
+    meta = scene.trav_meta._replace(supported=False)
+    scene2 = dataclasses.replace(scene, trav_meta=meta)
+    cfg = RenderConfig(width=16, height=16, max_bounces=3, max_frames=1,
+                       draw_environment=True)
+    cam = Camera().spec(16, 16)
+    out = np.asarray(render_dispatch(scene2, cam, jnp.uint32(1), cfg,
+                                     backend="trav_interpret"))
+    ref = np.asarray(render_dispatch(scene, cam, jnp.uint32(1), cfg,
+                                     backend="xla"))
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).mean() < 5e-3
+    with pytest.raises(AssertionError, match="unsupported"):
+        tk.render_rays_trav(scene2, cam, jnp.uint32(1), cfg,
+                            pixel_offset=jnp.int32(0), n_rays=256,
+                            interpret=True)
+
+
+def test_pack_box_bf16_conservative_property():
+    """Random boxes across magnitudes: the packed bf16 (lo, hi) pair must
+    CONTAIN the original box (lo' <= lo, hi' >= hi) and not be more than
+    ~2% looser per axis."""
+    from rtm_tpu.ops.pallas.trav_kernel import _pack_box_bf16
+
+    rng = np.random.default_rng(3)
+    for scale in (1e-3, 1.0, 1e3, 1e30):
+        lo = rng.uniform(-scale, scale, (3, 257)).astype(np.float32)
+        hi = lo + rng.uniform(0, scale, (3, 257)).astype(np.float32)
+        packed = _pack_box_bf16(np.concatenate([lo, hi], axis=0))
+        lo_b = (packed.view(np.uint32) << 16).view(np.float32)
+        hi_b = (packed.view(np.uint32) & 0xFFFF0000).view(np.float32)
+        assert (lo_b <= lo).all() and (hi_b >= hi).all()
+        width = hi - lo
+        slack = (lo - lo_b) + (hi_b - hi)
+        assert (slack <= 0.05 * np.maximum(width, np.abs(lo) + np.abs(hi))
+                + 1e-30).all()
