@@ -196,10 +196,15 @@ def sample_quads(flat_quads, h, w, u, v, wrap: str, base=0, row_w=None):
 def sample_texture_quads(tex_quads, tex_size, th, tw, tex_id, u, v):
     """Bindless texture sample via the stacked quad table: ONE gather.
 
-    TPU-critical: XLA's gather runs ~250x faster when the operand is a plain
-    buffer (a jit parameter / kernel output) and the whole bilinear footprint
-    is one row — measured 0.03ms vs 7.3ms for 262k taps (scripts/
-    gather_matrix.py).  `tex_quads` is the (K*TH*TW, 12) stacked table built
+    TPU-critical: the whole bilinear footprint is one row, so one sample
+    is ONE gather.  Honest sustained cost (round-4 re-measurement with a
+    forced host-transfer drain — the round-3 "0.03 ms" figures were the
+    axon tunnel's async-dispatch illusion): ~9-12 ns per issued tap on the
+    v5e gather engine, ~26 ms for the 8-bounce 512^2 stack against the
+    4096^2 quad table.  The 4-tap texel formulation measured 70 ms and
+    sort-compaction of masked lanes breaks even at best (scatter-back
+    costs ~24 ms), so this single-tap form is the measured optimum.
+    `tex_quads` is the (K*TH*TW, 12) stacked table built
     by models/scene.py; th/tw are the padded per-texture extents (python
     ints); tex_size the true extents.  Repeat wrap is baked into the quad
     rows at build, so only the base tap is wrapped here.

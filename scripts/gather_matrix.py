@@ -39,11 +39,17 @@ def main():
 
 
     def timeit(name, fn, *args, reps=20):
-        out = jax.block_until_ready(fn(*args))
+        # PROTOCOL (round-4 correction): block_until_ready through the
+        # axon tunnel can return while dispatches are still queued, which
+        # made gathers look 100-1000x faster than reality in round 3
+        # ("0.03 ms" taps).  A host transfer of one element at the end of
+        # the timed region forces a full drain; reps amortize the RTT.
+        out = fn(*args)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
         dt = (time.perf_counter() - t0) / reps
         print(f"{name:56s} {dt*1e3:9.3f} ms", flush=True)
 
