@@ -574,7 +574,7 @@ def _tri_sweep_ordered(feats, boxes, meta, offsets, widths, ray_tile,
 
 def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
                  max_bounces, max_frames, textured, cull, width, height,
-                 early_exit, order="near", probe=""):
+                 order="near", probe=""):
     """Returns the kernel fn closed over all static configuration.
 
     probe: perf-triage builds (scripts/kernel_probe.py) — "" production;
@@ -1001,16 +1001,13 @@ def _make_kernel(*, ray_tile, cluster_offsets, cluster_widths, n_sph,
                             m_dx, m_dy, m_dz, m_cr, m_cg, m_cb,
                             col_r, col_g, col_b)
 
-                if early_exit:
-                    # tile-uniform skip once every lane has terminated
-                    # (Mosaic's layout inference currently miscompiles a
-                    # cond over this 20-value carry on some targets; off
-                    # by default pending a rework as a fori_loop bound)
-                    any_alive = jnp.any(carry[10])
-                    carry = jax.lax.cond(any_alive, bounce_body,
-                                         lambda c: c, carry)
-                else:
-                    carry = bounce_body(carry)
+                # (an early_exit flag — tile-uniform skip once every
+                # lane terminated — shipped dead/default-False for three
+                # rounds: Mosaic miscompiles a cond over this 20-value
+                # carry, and the per-lane retirement that actually works
+                # lives in the round-4 trav/mxu kernels.  Deleted per
+                # VERDICT r3 task 6.)
+                carry = bounce_body(carry)
 
             (ox, oy, oz, dx, dy, dz, seed, ctr_r, ctr_g, ctr_b, alive,
              m_dx, m_dy, m_dz, m_cr, m_cg, m_cb,
@@ -1057,7 +1054,7 @@ def _pack_camera(cam: CameraSpec):
 def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                       cfg: RenderConfig, ray_tile: int = DEFAULT_RAY_TILE,
                       cull: bool = True, interpret: bool = False,
-                      early_exit: bool = False, order: str = "static"):
+                      order: str = "static"):
     """Full-frame forward dispatch through the megakernel.
 
     Returns (H, W, 3) f32 radiance averaged over cfg.max_frames samples —
@@ -1073,7 +1070,7 @@ def render_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
     color = render_rays_megakernel(
         scene, cam, frame_index, cfg, pixel_offset=jnp.int32(0),
         n_rays=cfg.width * cfg.height, ray_tile=ray_tile, cull=cull,
-        interpret=interpret, early_exit=early_exit, order=order)
+        interpret=interpret, order=order)
     if use_block8(cfg.width, cfg.height):
         return slots_to_image(color, cfg.width, cfg.height)
     return color.reshape(cfg.height, cfg.width, 3)
@@ -1083,7 +1080,6 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
                            cfg: RenderConfig, pixel_offset, n_rays: int,
                            ray_tile: int = DEFAULT_RAY_TILE,
                            cull: bool = True, interpret: bool = False,
-                           early_exit: bool = False,
                            skip_postpass: bool = False,
                            order: str = "static", probe: str = ""):
     """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) of the
@@ -1155,7 +1151,7 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
         cluster_widths=pack.cluster_widths,
         n_sph=pack.n_spheres_padded, max_bounces=bounces,
         max_frames=frames, textured=textured, cull=cull,
-        width=w, height=h, early_exit=early_exit, order=order, probe=probe)
+        width=w, height=h, order=order, probe=probe)
 
     try:
         cparams = pltpu.CompilerParams(

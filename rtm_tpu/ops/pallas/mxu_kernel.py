@@ -54,7 +54,8 @@ from ...config import RenderConfig
 from ...models.camera import CameraSpec
 from ..intersect import DET_EPS
 from .megakernel import (BIG, SEED_STRIDE, U32, _cross, _pack_camera,
-                         _select, mega_postpass, slot_to_xy, use_block8)
+                         _safe_inv_dirs, _select, mega_postpass, slot_to_xy,
+                         use_block8)
 from .trav_kernel import (_chunk_rep, _mk_lookup, traced_mat_tab,
                           traced_sph_tabs, traced_tex_tab)
 from .vreg_common import (NO_TEX, camera_frame, fetch_mat_attrs,
@@ -87,9 +88,10 @@ class MxuArrays(NamedTuple):
     scene — material/texture/sphere side tables are traced per dispatch,
     shared with the trav kernel)."""
 
-    pair: np.ndarray         # (NC, Q*128, K) f32 matmul lhs rows
+    pair: np.ndarray         # (NC, Q*128, KS) bf16 matmul lhs rows
     attr: np.ndarray         # (A_ROWS, NC, 8, 128) f32 gather chunks
     info: np.ndarray         # (NC, 8, 128) i32: mat | texslot<<8
+    cbox: np.ndarray         # (NC, 8) f32 chunk bbox lo3 hi3 (SMEM culling)
 
 
 class MxuMeta(NamedTuple):
@@ -104,11 +106,30 @@ class MxuTables(NamedTuple):
     meta: MxuMeta
 
 
+def _morton3(vals: np.ndarray) -> np.ndarray:
+    """(T,3) centroids -> 30-bit Morton codes (10 bits/axis)."""
+    lo = vals.min(axis=0)
+    ext = np.maximum(vals.max(axis=0) - lo, 1e-12)
+    q = np.clip(((vals - lo) / ext * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+
+
 def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
                      mat_texture_id, n_materials: int,
                      n_spheres: int) -> MxuTables:
     """Pack the pair-test matmul rows + attribute gather tables from host
-    numpy arrays (SCENE row order — no BVH permutation)."""
+    numpy arrays.  Triangles are MORTON-ordered so 128-tri chunks are
+    spatially compact — the kernel culls whole chunks per (tile, bounce)
+    against the chunk bbox (cbox) with one scalar bitmask."""
     t = len(tri_wa)
     supported = (t <= MAX_TRIS and n_materials <= 128 and n_spheres <= 128)
 
@@ -123,15 +144,32 @@ def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
     slot_of_row[textured_rows] = np.arange(len(textured_rows))
 
     if t > 0 and supported:
+        wa = np.asarray(tri_wa, np.float64)
+        wb = np.asarray(tri_wb, np.float64)
+        wc = np.asarray(tri_wc, np.float64)
+        order = np.argsort(_morton3((wa + wb + wc) / 3.0), kind="stable")
+        tri_mat_o = np.asarray(tri_mat, np.int64)[order]
+        slot_o = slot_of_row[order]
+        nsh_o = np.asarray(tri_normal, np.float32)[order]
+
         nc = -(-t // 128)
         tp = nc * 128
         a = np.zeros((tp, 3), np.float64)
         b = np.zeros((tp, 3), np.float64)
         c3 = np.zeros((tp, 3), np.float64)
-        a[:t] = tri_wa
-        b[:t] = tri_wb
-        c3[:t] = tri_wc
+        a[:t] = wa[order]
+        b[:t] = wb[order]
+        c3[:t] = wc[order]
         n = np.cross(b - a, c3 - a)          # zero rows for padding: det=0
+
+        # per-chunk bounding boxes for the in-kernel cull (padding rows
+        # collapse to the chunk's real extent)
+        cbox = np.zeros((nc, 8), np.float32)
+        for c in range(nc):
+            s, e = c * 128, min((c + 1) * 128, t)
+            vs = np.concatenate([a[s:e], b[s:e], c3[s:e]], axis=0)
+            cbox[c, 0:3] = vs.min(axis=0)
+            cbox[c, 3:6] = vs.max(axis=0)
 
         # pair rows: reversed edges (c->b),(a->c),(b->a) make the side
         # sum equal -d.n = det (the repo's backface gate); tdet = (o-a).n
@@ -151,7 +189,7 @@ def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
         pair = np.concatenate([a_hi, a_hi, a_lo], axis=2)   # (nc,Q*128,KS)
 
         nsh = np.zeros((tp, 3), np.float32)
-        nsh[:t] = tri_normal
+        nsh[:t] = nsh_o
         attr_rows = np.zeros((A_ROWS, tp), np.float32)
         attr_rows[_A_NX:_A_NZ + 1] = n.T.astype(np.float32)
         attr_rows[_A_ANDOT] = (a * n).sum(-1).astype(np.float32)
@@ -159,8 +197,7 @@ def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
         attr = _chunk_rep(attr_rows)                # (A_ROWS, NC, 8, 128)
 
         info_rows = np.full((tp,), NO_TEX << 8, np.int64)
-        info_rows[:t] = (np.asarray(tri_mat, np.int64)
-                         | (slot_of_row[:t] << 8))
+        info_rows[:t] = tri_mat_o | (slot_o << 8)
         info = _chunk_rep(info_rows[None].astype(np.int32))[0]
     else:
         import ml_dtypes
@@ -168,9 +205,10 @@ def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
         pair = np.zeros((1, Q * 128, KS), ml_dtypes.bfloat16)
         attr = np.zeros((A_ROWS, 1, 8, 128), np.float32)
         info = np.full((1, 8, 128), NO_TEX << 8, np.int32)
+        cbox = np.zeros((1, 8), np.float32)
 
     return MxuTables(
-        MxuArrays(pair, attr, info),
+        MxuArrays(pair, attr, info, cbox),
         MxuMeta(t, nc, supported,
                 tuple(int(r) for r in textured_rows)))
 
@@ -189,9 +227,10 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
         fidx = next(it)                       # (1,1)  u32 SMEM
         pix0 = next(it)                       # (1,1)  i32 SMEM
         if have_tris:
-            pair_ref = next(it)               # (NC, Q*128, K) f32
+            pair_ref = next(it)               # (NC, Q*128, KS) bf16
             attr_ref = next(it)               # (A_ROWS, NC, 8, 128) f32
             info_ref = next(it)               # (NC, 8, 128) i32
+            cbox_ref = next(it)               # (NC, 8) f32 SMEM chunk boxes
         mat_tab = next(it)                    # (M_ROWS,8,128) f32
         if textured:
             tex_tab = next(it)                # (X_ROWS,8,128) f32
@@ -235,10 +274,18 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
         col_g = jnp.zeros(shape, jnp.float32)
         col_b = jnp.zeros(shape, jnp.float32)
 
-        def nearest_tri_mxu(ox, oy, oz, dx, dy, dz):
-            """All-pairs matmul sweep: returns (got, win_idx, t_exact
-            ingredients via gathers are done by the caller).  Results are
-            (8,128) i32/bool in ray-vreg layout."""
+        def nearest_tri_mxu(ox, oy, oz, dx, dy, dz, alive):
+            """All-pairs matmul sweep with per-chunk culling: returns
+            (got, win_idx) as (8,128) values in ray-vreg layout.
+
+            Culling: Morton-ordered chunks are spatially compact, so a
+            slab test of every live lane against each chunk bbox builds a
+            per-lane chunk bitmask; an OR-tree over lanes/sublanes (lane
+            rolls) collapses it to ONE scalar read, and chunks no live
+            lane can touch skip their matmul + min-sweep entirely (the
+            round-2 census: secondary bounces still need ~65-70% of the
+            scene, but primary tiles need only the chunks their frustum
+            crosses)."""
             mx, my, mz = _cross(ox, oy, oz, dx, dy, dz)
             rayf[0] = dx
             rayf[1] = dy
@@ -259,35 +306,68 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
             rm = rayb[...].reshape(KS, RAY_TILE)
             best_ref[...] = jnp.full((8, RAY_TILE), BIG, jnp.float32)
 
+            # ---- chunk cull mask (one scalar sync per bounce) ----------
+            inv_dx, inv_dy, inv_dz = _safe_inv_dirs(dx, dy, dz)
+            lanemask = jnp.zeros(shape, jnp.int32)
+            for c in range(nc):
+                t1x = (cbox_ref[c, 0] - ox) * inv_dx
+                t2x = (cbox_ref[c, 3] - ox) * inv_dx
+                t1y = (cbox_ref[c, 1] - oy) * inv_dy
+                t2y = (cbox_ref[c, 4] - oy) * inv_dy
+                t1z = (cbox_ref[c, 2] - oz) * inv_dz
+                t2z = (cbox_ref[c, 5] - oz) * inv_dz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x),
+                                jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z))
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x),
+                                jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z))
+                hit_c = (tf >= 0.0) & (tn <= tf) & alive
+                lanemask = jnp.bitwise_or(
+                    lanemask, hit_c.astype(jnp.int32) << c)
+            for sh in (1, 2, 4, 8, 16, 32, 64):
+                lanemask = jnp.bitwise_or(
+                    lanemask, jnp.roll(lanemask, sh, axis=1))
+            for sh in (1, 2, 4):
+                lanemask = jnp.bitwise_or(
+                    lanemask, jnp.roll(lanemask, sh, axis=0))
+            cmask = lanemask[0, 0]
+
             def chunk_body(c, _):
-                # bf16 inputs, f32 accumulate: one MXU pass over the
-                # KS-stacked operands IS the bf16x3 algorithm (the KS
-                # docstring above); measured f32-parity radiance where
-                # the naive f32 DEFAULT (bf16x1) drifted +3%
-                acc_ref[...] = jax.lax.dot_general(
-                    pair_ref[c], rm, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                best = best_ref[...]
-                for t0 in range(0, 128, 8):
-                    s1 = acc_ref[t0:t0 + 8]
-                    s2 = acc_ref[128 + t0:128 + t0 + 8]
-                    s3 = acc_ref[256 + t0:256 + t0 + 8]
-                    td = acc_ref[384 + t0:384 + t0 + 8]
-                    det = s1 + s2 + s3
-                    m = jnp.minimum(jnp.minimum(s1, s2),
-                                    jnp.minimum(s3, td))
-                    tt = td * pl.reciprocal(
-                        jnp.maximum(det, DET_EPS), approx=True)
-                    ok = (m >= 0.0) & (det > DET_EPS)
-                    ti = rowi + (c * 128 + t0)
-                    packed = jax.lax.bitcast_convert_type(
-                        jnp.bitwise_or(
-                            jnp.bitwise_and(
-                                jax.lax.bitcast_convert_type(tt, jnp.int32),
-                                jnp.int32(~IDX_MASK)),
-                            ti), jnp.float32)
-                    best = jnp.minimum(best, jnp.where(ok, packed, BIG))
-                best_ref[...] = best
+                @pl.when(jnp.bitwise_and(
+                    jax.lax.shift_right_logical(cmask, c), 1) != 0)
+                def _():
+                    # bf16 inputs, f32 accumulate: one MXU pass over the
+                    # KS-stacked operands IS the bf16x3 algorithm (the KS
+                    # docstring above); measured f32-parity radiance where
+                    # the naive f32 DEFAULT (bf16x1) drifted +3%
+                    acc_ref[...] = jax.lax.dot_general(
+                        pair_ref[c], rm, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    best = best_ref[...]
+                    for t0 in range(0, 128, 8):
+                        s1 = acc_ref[t0:t0 + 8]
+                        s2 = acc_ref[128 + t0:128 + t0 + 8]
+                        s3 = acc_ref[256 + t0:256 + t0 + 8]
+                        td = acc_ref[384 + t0:384 + t0 + 8]
+                        det = s1 + s2 + s3
+                        m = jnp.minimum(jnp.minimum(s1, s2),
+                                        jnp.minimum(s3, td))
+                        tt = td * pl.reciprocal(
+                            jnp.maximum(det, DET_EPS), approx=True)
+                        ok = (m >= 0.0) & (det > DET_EPS)
+                        ti = rowi + (c * 128 + t0)
+                        packed = jax.lax.bitcast_convert_type(
+                            jnp.bitwise_or(
+                                jnp.bitwise_and(
+                                    jax.lax.bitcast_convert_type(
+                                        tt, jnp.int32),
+                                    jnp.int32(~IDX_MASK)),
+                                ti), jnp.float32)
+                        best = jnp.minimum(best, jnp.where(ok, packed, BIG))
+                    best_ref[...] = best
                 return 0
 
             jax.lax.fori_loop(0, nc, chunk_body, 0)
@@ -324,7 +404,8 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                     s_idx = jnp.zeros(shape, jnp.int32)
 
                 if have_tris:
-                    got, win = nearest_tri_mxu(ox, oy, oz, dx, dy, dz)
+                    got, win = nearest_tri_mxu(ox, oy, oz, dx, dy, dz,
+                                               alive)
                     # winner attributes + EXACT t recovery (the packed t
                     # was approx-reciprocal + 11 masked mantissa bits,
                     # ordering-only)
@@ -538,6 +619,9 @@ def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
         vmem_full(ma.pair)
         vmem_full(ma.attr)
         vmem_full(ma.info)
+        in_specs.append(pl.BlockSpec(ma.cbox.shape, const2,
+                                     memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(ma.cbox))
     vmem_full(traced_mat_tab(scene.materials))
     if textured:
         vmem_full(traced_tex_tab(scene, mm.textured_rows))

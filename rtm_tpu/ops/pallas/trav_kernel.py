@@ -421,9 +421,51 @@ def _slab_near8(lox, loy, loz, hix, hiy, hiz, ox, oy, oz,
 def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                       have_tris, have_sph, max_bounces, max_frames,
                       textured, width, height):
-    """Kernel fn closed over all static configuration."""
+    """Kernel fn closed over all static configuration.
+
+    Round-4 PERSISTENT PER-LANE scheduling (VERDICT r3 task 1): the
+    bounce loop is FUSED into the traversal rounds.  Round 3 ran
+    `for b: while_rounds(traverse); shade` — every bounce paid the
+    tile-max leaf-visit count (~16) while the per-lane mean is ~4.4, and
+    terminated lanes idled through the remaining bounces.  Now ONE
+    while-loop runs rounds of [node burst | leaf phase | completion]:
+
+      * a lane whose traversal reaches DONE immediately shades, scatters
+        (vreg_common.scatter_step, masked by the completion set), bumps
+        its per-lane bounce counter and re-enters traversal with its new
+        ray in the SAME loop — rounds are bounded by the max over lanes
+        of the TOTAL leaf visits across that lane's whole path (a sum
+        that concentrates) instead of the per-bounce max summed over
+        bounces;
+      * dead lanes (missed into the sky / bounce budget spent) retire:
+        they stop contributing to the round count entirely;
+      * the winner's shading normal + (mat | texslot) are carried DURING
+        the leaf k-step (4 extra gathers, improve-gated selects), which
+        deletes the old per-bounce fetch_k pass — per-round completion
+        only fetches material attributes from the <=128-entry tables;
+      * textured records land in their (frame, bounce) rows via
+        bounce-one-hot masked writes (the rec layout is unchanged, so
+        mega_postpass is shared verbatim);
+      * all per-lane path state (ray, seed, contribution, bounce index,
+        pending flag, miss registers, accumulated color) lives in VMEM
+        scratch refs — the while carries only a scalar flag (Mosaic
+        miscompiles vector-carried conds, the round-2 lesson).
+
+    In-kernel counters (color_ref rows 3/4/5): node-phase iterations,
+    leaf k-steps issued (rounds * leaf_k), and REAL per-lane useful
+    k-steps — the padded-vs-real ratio of the r3 verdict's done
+    criterion is rows[4]/rows[5].
+    """
     shape = (8, 128)
     NDONE = max(n_nodes, 1)
+
+    # f32 per-lane state rows (st_f)
+    _OX, _OY, _OZ, _DXR, _DYR, _DZR = 0, 1, 2, 3, 4, 5
+    _CTR, _CTG, _CTB, _TSPH = 6, 7, 8, 9
+    _MDX, _MDY, _MDZ, _MCR, _MCG, _MCB = 10, 11, 12, 13, 14, 15
+    _CLR, _CLG, _CLB = 16, 17, 18
+    # i32 per-lane state rows (st_i)
+    _IB, _IPEND, _ISIDX, _IUSE = 0, 1, 2, 3
 
     def kernel(*refs):
         it = iter(refs)
@@ -431,9 +473,9 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
         fidx = next(it)                       # (1,1)  u32 SMEM
         pix0 = next(it)                       # (1,1)  i32 SMEM
         if have_tris:
-            node_box = next(it)               # (6,NC,8,128) f32
+            node_box = next(it)               # (3,NC,8,128) i32 bf16-pairs
             node_info = next(it)              # (NC,8,128) i32
-            tri_feat = next(it)               # (TF,K,LC,8,128) f32
+            tri_feat = next(it)               # (K,LC,TF,8,128) f32
             tri_info = next(it)               # (K,LC,8,128) i32
         mat_tab = next(it)                    # (M_ROWS,8,128) f32
         if textured:
@@ -444,8 +486,7 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
         color_ref = next(it)                  # (8,8,128)
         miss_ref = next(it)                   # (8*F,8,128)
         rec_ref = next(it) if textured else None   # (8*F*B,8,128)
-        # traversal scratch (vector state in REFS: loops carry only a
-        # scalar flag — Mosaic miscompiles vector-carried conds)
+        # traversal + path state in REFS (scalar-only loop carries)
         cur_r = next(it)                      # (8,128) i32
         cnt_r = next(it)                      # (8,128) i32
         leaf_r = next(it)                     # (8,128) i32
@@ -454,7 +495,9 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
         wfe_r = next(it)                      # (8, 8,128) f32 carried winner
         #   rows: 0=tdet 1=det 4-6=shading normal
         winfo_r = next(it)                    # (8,128) i32 mat|texslot<<8
-        wink_r = next(it)                     # (8,128) i32 leaf | k<<16
+        st_f = next(it)                       # (F_ROWS,8,128) f32 path state
+        st_i = next(it)                       # (4,8,128) i32 path state
+        seed_r = next(it)                     # (8,128) u32
         nsteps = next(it)                     # (1,1) i32 SMEM stats
         ksteps = next(it)                     # (1,1) i32 SMEM stats
 
@@ -465,6 +508,10 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                 rec_ref[fb * 8 + 6] = jnp.full(shape, -1.0, jnp.float32)
         nsteps[0, 0] = 0
         ksteps[0, 0] = 0
+        st_i[_IUSE] = jnp.zeros(shape, jnp.int32)
+        st_f[_CLR] = jnp.zeros(shape, jnp.float32)
+        st_f[_CLG] = jnp.zeros(shape, jnp.float32)
+        st_f[_CLB] = jnp.zeros(shape, jnp.float32)
 
         frame_index = fidx[0, 0]
 
@@ -482,344 +529,346 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
         # camera basis (shader:684-691) — megakernel parity (vreg_common)
         basis = camera_frame(camf, width, height, xpix, ypix)
 
-        col_r = jnp.zeros(shape, jnp.float32)
-        col_g = jnp.zeros(shape, jnp.float32)
-        col_b = jnp.zeros(shape, jnp.float32)
+        def sphere_for(ox, oy, oz, dx, dy, dz):
+            if have_sph:
+                return sphere_nearest_smem(
+                    sph_smem, n_sph_pad, shape, ox, oy, oz, dx, dy, dz)
+            return (jnp.full(shape, BIG), jnp.zeros(shape, jnp.int32))
 
-        def traverse(ox, oy, oz, dx, dy, dz, wx, wy, wz, alive, t_init):
-            """Per-lane skip-link descent; results land in the win refs."""
-            best_r[:, :] = t_init
+        def node_step(ox, oy, oz, inv_dx, inv_dy, inv_dz):
+            cur = cur_r[:, :]
+            active = (cur < NDONE) & (cnt_r[:, :] == 0)
+            idx = jnp.clip(cur, 0, NDONE - 1)
+            lk = _mk_lookup(idx, nc)
+            info = lk(lambda c: node_info[c])
+            wx_ = lk(lambda c: node_box[0, c])
+            wy_ = lk(lambda c: node_box[1, c])
+            wz_ = lk(lambda c: node_box[2, c])
+
+            def unpk(w):
+                lo = jax.lax.bitcast_convert_type(
+                    jax.lax.shift_left(w, 16), jnp.float32)
+                hi = jax.lax.bitcast_convert_type(
+                    jnp.bitwise_and(w, jnp.int32(-65536)), jnp.float32)
+                return lo, hi
+
+            lox, hix = unpk(wx_)
+            loy, hiy = unpk(wy_)
+            loz, hiz = unpk(wz_)
+            near = _slab_near8(
+                lox, loy, loz, hix, hiy, hiz,
+                ox, oy, oz, inv_dx, inv_dy, inv_dz)
+            hit = active & (near < best_r[:, :])
+            skip = info & 0x3FF
+            leaf1 = (info >> 10) & 0x3FF
+            c_ = jax.lax.shift_right_logical(info, 20)
+            is_leaf = leaf1 > 0
+            enter = hit & is_leaf
+            leaf_r[:, :] = _select(enter, leaf1 - 1, leaf_r[:, :])
+            cnt_r[:, :] = _select(enter, c_, cnt_r[:, :])
+            cur_r[:, :] = _select(
+                active, _select(hit & (~is_leaf), idx + 1, skip), cur)
+            nsteps[0, 0] += 1
+
+        def leaf_k_step(k, ox, oy, oz, dx, dy, dz):
+            # 13 gathers: A + edges (9, Moller-Trumbore features derived
+            # in registers), shading normal (3) and the packed info (1)
+            # carried on improve — this deletes the round-3 per-bounce
+            # fetch_k pass, which would otherwise run (masked) every
+            # ROUND under persistent scheduling
+            m = cnt_r[:, :] > k
+            lk = _mk_lookup(jnp.clip(leaf_r[:, :], 0, n_leaves - 1), lc)
+            subs = [tri_feat.at[k, c] for c in range(lc)]
+            f = [lk(lambda c, j=j: subs[c][j]) for j in range(12)]
+            info = lk(lambda c: tri_info[k, c])
+            aox = ox - f[_TF_AX]
+            aoy = oy - f[_TF_AY]
+            aoz = oz - f[_TF_AZ]
+            nx_t, ny_t, nz_t = _cross(f[_TF_ABX], f[_TF_ABY],
+                                      f[_TF_ABZ], f[_TF_ACX],
+                                      f[_TF_ACY], f[_TF_ACZ])
+            det = -(dx * nx_t + dy * ny_t + dz * nz_t)
+            tdet = aox * nx_t + aoy * ny_t + aoz * nz_t
+            dax, day, daz = _cross(aox, aoy, aoz, dx, dy, dz)
+            udet = f[_TF_ACX] * dax + f[_TF_ACY] * day + f[_TF_ACZ] * daz
+            vdet = -(f[_TF_ABX] * dax + f[_TF_ABY] * day
+                     + f[_TF_ABZ] * daz)
+            wdet = det - udet - vdet
+            mm = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
+                             jnp.minimum(jnp.minimum(udet, vdet), wdet))
+            ta = tdet * pl.reciprocal(jnp.maximum(det, DET_EPS),
+                                      approx=True)
+            better = m & (mm >= 0.0) & (ta < best_r[:, :])
+            best_r[:, :] = _select(better, ta, best_r[:, :])
+            got_r[:, :] = got_r[:, :] | better.astype(jnp.int32)
+            wfe_r[0] = _select(better, tdet, wfe_r[0])
+            wfe_r[1] = _select(better, det, wfe_r[1])
+            wfe_r[4] = _select(better, f[_TF_SNX], wfe_r[4])
+            wfe_r[5] = _select(better, f[_TF_SNY], wfe_r[5])
+            wfe_r[6] = _select(better, f[_TF_SNZ], wfe_r[6])
+            winfo_r[:, :] = _select(better, info, winfo_r[:, :])
+            st_i[_IUSE] = st_i[_IUSE] + m.astype(jnp.int32)
+            ksteps[0, 0] += 1
+
+        def completion(frame):
+            """Shade + scatter lanes whose traversal just finished, then
+            retire them or re-launch their next bounce."""
+            pend = st_i[_IPEND] > 0
+            done = pend & (cur_r[:, :] >= NDONE) & (cnt_r[:, :] == 0)
+            ox = st_f[_OX]
+            oy = st_f[_OY]
+            oz = st_f[_OZ]
+            dx = st_f[_DXR]
+            dy = st_f[_DYR]
+            dz = st_f[_DZR]
+            t_sph = st_f[_TSPH]
+            s_idx = st_i[_ISIDX]
+            seed = seed_r[:, :]
+            b_r = st_i[_IB]
+
+            if have_tris:
+                use_tri = (got_r[:, :] > 0) & done
+                t_ex = wfe_r[0] / jnp.maximum(wfe_r[1], DET_EPS)
+                t_hit = _select(use_tri, t_ex, t_sph)
+            else:
+                use_tri = jnp.zeros(shape, jnp.bool_)
+                t_hit = t_sph
+
+            hit = done & (t_hit < BIG)
+            t_safe = _select(hit, t_hit, 0.0)
+            hx = ox + t_safe * dx
+            hy = oy + t_safe * dy
+            hz = oz + t_safe * dz
+
+            use_t = use_tri.astype(jnp.float32)
+            use_s = (hit & (~use_tri)).astype(jnp.float32)
+
+            if have_tris:
+                mid = winfo_r[:, :] & 0xFF
+                mlk = _mk_lookup(mid, 1)
+                (t_al_r, t_al_g, t_al_b, t_em_r, t_em_g, t_em_b,
+                 t_emp, t_rough, t_metal, t_refr,
+                 t_tex) = fetch_mat_attrs(mlk, mat_tab)
+            else:
+                zero = jnp.zeros(shape, jnp.float32)
+                t_al_r = t_al_g = t_al_b = zero
+                t_em_r = t_em_g = t_em_b = zero
+                t_emp = t_rough = t_metal = t_refr = zero
+                t_tex = zero - 1.0
+
+            if have_sph:
+                slk = _mk_lookup(s_idx, 1)
+                (scx, scy, scz, s_al_r, s_al_g, s_al_b, s_em_r, s_em_g,
+                 s_em_b, s_emp, s_rough, s_metal, s_refr,
+                 s_tex) = fetch_sph_attrs(slk, sph_tab)
+                snx, sny, snz = _normalize(hx - scx, hy - scy, hz - scz)
+            else:
+                zero = jnp.zeros(shape, jnp.float32)
+                s_al_r = s_al_g = s_al_b = zero
+                s_em_r = s_em_g = s_em_b = zero
+                s_emp = s_rough = s_metal = s_refr = zero
+                s_tex = zero - 1.0
+                snx = sny = snz = zero
+
+            if have_tris:
+                nxh = wfe_r[4] * use_t + snx * use_s
+                nyh = wfe_r[5] * use_t + sny * use_s
+                nzh = wfe_r[6] * use_t + snz * use_s
+            else:
+                nxh, nyh, nzh = snx * use_s, sny * use_s, snz * use_s
+
+            alr = t_al_r * use_t + s_al_r * use_s
+            alg = t_al_g * use_t + s_al_g * use_s
+            alb = t_al_b * use_t + s_al_b * use_s
+            emr = t_em_r * use_t + s_em_r * use_s
+            emg = t_em_g * use_t + s_em_g * use_s
+            emb = t_em_b * use_t + s_em_b * use_s
+            emp = t_emp * use_t + s_emp * use_s
+            rough = t_rough * use_t + s_rough * use_s
+            metal = t_metal * use_t + s_metal * use_s
+            refr = t_refr * use_t + s_refr * use_s
+            texid = (t_tex * use_t + s_tex * use_s
+                     + (-1.0) * (1.0 - use_t - use_s))
+
+            live = hit
+            miss_now = done & (~hit)
+
+            st_f[_MDX] = _select(miss_now, dx, st_f[_MDX])
+            st_f[_MDY] = _select(miss_now, dy, st_f[_MDY])
+            st_f[_MDZ] = _select(miss_now, dz, st_f[_MDZ])
+            st_f[_MCR] = _select(miss_now, st_f[_CTR], st_f[_MCR])
+            st_f[_MCG] = _select(miss_now, st_f[_CTG], st_f[_MCG])
+            st_f[_MCB] = _select(miss_now, st_f[_CTB], st_f[_MCB])
+
+            ctr_r = st_f[_CTR]
+            ctr_g = st_f[_CTG]
+            ctr_b = st_f[_CTB]
+            if textured:
+                has_tex = (texid > -0.5) & live
+                livef = live.astype(jnp.float32)
+                htf = has_tex.astype(jnp.float32)
+                s_r = ctr_r * _select(has_tex, emp, emr * emp) * livef
+                s_g = ctr_g * _select(has_tex, emp, emg * emp) * livef
+                s_b_ = ctr_b * _select(has_tex, emp, emb * emp) * livef
+                if have_tris:
+                    slot = jnp.clip(
+                        jax.lax.shift_right_logical(winfo_r[:, :], 8),
+                        0, 127)
+                    xlk = _mk_lookup(slot, 1)
+                    uu, vv = tex_uv(xlk, tex_tab, ox, oy, oz, dx, dy, dz)
+                else:
+                    uu = vv = jnp.zeros(shape, jnp.float32)
+                ra = uu * use_t + snx * use_s
+                rb = vv * use_t + sny * use_s
+                rc = snz * use_s
+                vals = (s_r, s_g, s_b_, ra, rb, rc,
+                        _select(has_tex, texid, jnp.float32(-1.0)),
+                        use_s * htf)
+                # bounce-one-hot record landing: each completing lane
+                # writes its own (frame, bounce) rows
+                for bb in range(max_bounces):
+                    selb = live & (b_r == bb)
+                    row = ((frame - 1) * max_bounces + bb) * 8
+                    for j in range(8):
+                        rec_ref[row + j] = _select(selb, vals[j],
+                                                   rec_ref[row + j])
+                keep = 1.0 - livef * (1.0 - htf)
+                st_f[_CTR] = ctr_r * (keep + livef * (1.0 - htf) * alr)
+                st_f[_CTG] = ctr_g * (keep + livef * (1.0 - htf) * alg)
+                st_f[_CTB] = ctr_b * (keep + livef * (1.0 - htf) * alb)
+            else:
+                livef = live.astype(jnp.float32)
+                st_f[_CLR] = st_f[_CLR] + emr * emp * ctr_r * livef
+                st_f[_CLG] = st_f[_CLG] + emg * emp * ctr_g * livef
+                st_f[_CLB] = st_f[_CLB] + emb * emp * ctr_b * livef
+                st_f[_CTR] = ctr_r * (1.0 - livef + livef * alr)
+                st_f[_CTG] = ctr_g * (1.0 - livef + livef * alg)
+                st_f[_CTB] = ctr_b * (1.0 - livef + livef * alb)
+
+            # ---- scatter (shader:590-649) — shared vreg_common ---------
+            n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_seed = scatter_step(
+                dx, dy, dz, nxh, nyh, nzh, hx, hy, hz,
+                rough, metal, refr, seed)
+
+            nb = b_r + 1
+            cont = live & (nb < max_bounces) & pend
+            # shader:659 — the next bounce offsets the carried seed by
+            # its bounce index
+            st_f[_OX] = _select(cont, n_ox, ox)
+            st_f[_OY] = _select(cont, n_oy, oy)
+            st_f[_OZ] = _select(cont, n_oz, oz)
+            st_f[_DXR] = _select(cont, n_dx, dx)
+            st_f[_DYR] = _select(cont, n_dy, dy)
+            st_f[_DZR] = _select(cont, n_dz, dz)
+            seed_r[:, :] = jnp.where(
+                cont, n_seed + nb.astype(U32), seed)
+            st_i[_IB] = _select(done, nb, b_r)
+            st_i[_IPEND] = _select(done, cont.astype(jnp.int32),
+                                   st_i[_IPEND])
+
+            # re-launch traversal for continuing lanes
+            t_sph2, s_idx2 = sphere_for(
+                st_f[_OX], st_f[_OY], st_f[_OZ],
+                st_f[_DXR], st_f[_DYR], st_f[_DZR])
+            st_f[_TSPH] = _select(cont, t_sph2, st_f[_TSPH])
+            st_i[_ISIDX] = _select(cont, s_idx2, st_i[_ISIDX])
+            best_r[:, :] = _select(cont, st_f[_TSPH], best_r[:, :])
+            got_r[:, :] = _select(cont, jnp.int32(0), got_r[:, :])
+            winfo_r[:, :] = _select(
+                cont, jnp.full(shape, NO_TEX << 8, jnp.int32),
+                winfo_r[:, :])
+            cnt_r[:, :] = _select(cont, jnp.int32(0), cnt_r[:, :])
+            cur_r[:, :] = _select(cont, jnp.int32(0), cur_r[:, :])
+
+        for frame in range(1, max_frames + 1):
+            seed0 = lin_u + U32(frame) * frame_index * SEED_STRIDE
+            ox, oy, oz, dx, dy, dz, seed = jittered_ray(seed0, basis)
+            # bounce 0: shader:659 adds U32(0) — no-op
+            st_f[_OX] = ox
+            st_f[_OY] = oy
+            st_f[_OZ] = oz
+            st_f[_DXR] = dx
+            st_f[_DYR] = dy
+            st_f[_DZR] = dz
+            seed_r[:, :] = seed
+            st_f[_CTR] = jnp.ones(shape, jnp.float32)
+            st_f[_CTG] = jnp.ones(shape, jnp.float32)
+            st_f[_CTB] = jnp.ones(shape, jnp.float32)
+            for j in (_MDX, _MDY, _MDZ, _MCR, _MCG, _MCB):
+                st_f[j] = jnp.zeros(shape, jnp.float32)
+            st_i[_IB] = jnp.zeros(shape, jnp.int32)
+            st_i[_IPEND] = jnp.ones(shape, jnp.int32)
+            t_sph, s_idx = sphere_for(ox, oy, oz, dx, dy, dz)
+            st_f[_TSPH] = t_sph
+            st_i[_ISIDX] = s_idx
+            best_r[:, :] = t_sph
             got_r[:, :] = jnp.zeros(shape, jnp.int32)
             cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
             leaf_r[:, :] = jnp.zeros(shape, jnp.int32)
-            cur_r[:, :] = _select(alive, jnp.int32(0), jnp.int32(NDONE))
-            inv_dx, inv_dy, inv_dz = _safe_inv_dirs(dx, dy, dz)
-
-            def node_step():
-                cur = cur_r[:, :]
-                active = (cur < NDONE) & (cnt_r[:, :] == 0)
-                idx = jnp.clip(cur, 0, NDONE - 1)
-                lk = _mk_lookup(idx, nc)
-                info = lk(lambda c: node_info[c])
-                # box fetch: 3 i32 gathers, each an (lo, hi) bf16 pair
-                # (conservative packing, _pack_box_bf16)
-                wx_ = lk(lambda c: node_box[0, c])
-                wy_ = lk(lambda c: node_box[1, c])
-                wz_ = lk(lambda c: node_box[2, c])
-
-                def unpk(w):
-                    lo = jax.lax.bitcast_convert_type(
-                        jax.lax.shift_left(w, 16), jnp.float32)
-                    hi = jax.lax.bitcast_convert_type(
-                        jnp.bitwise_and(w, jnp.int32(-65536)), jnp.float32)
-                    return lo, hi
-
-                lox, hix = unpk(wx_)
-                loy, hiy = unpk(wy_)
-                loz, hiz = unpk(wz_)
-                near = _slab_near8(
-                    lox, loy, loz, hix, hiy, hiz,
-                    ox, oy, oz, inv_dx, inv_dy, inv_dz)
-                hit = active & (near < best_r[:, :])
-                skip = info & 0x3FF
-                leaf1 = (info >> 10) & 0x3FF
-                c_ = jax.lax.shift_right_logical(info, 20)
-                is_leaf = leaf1 > 0
-                enter = hit & is_leaf
-                leaf_r[:, :] = _select(enter, leaf1 - 1, leaf_r[:, :])
-                cnt_r[:, :] = _select(enter, c_, cnt_r[:, :])
-                cur_r[:, :] = _select(
-                    active, _select(hit & (~is_leaf), idx + 1, skip), cur)
-                nsteps[0, 0] += 1
-
-            def node_burst(_):
-                for _ in range(NODE_BURST):
-                    node_step()
-                return 0
-
-            def leaf_k_step(k):
-                # k is a TRACED loop index: tri_feat's K axis is a leading
-                # (untiled) ref dim, so [j, k, c] is a dynamic-address
-                # read.  9 gathers (vertex A + local edges); the M-T
-                # determinant features are derived in registers (a gather
-                # costs ~10-20 VPU ops' worth of time).
-                m = cnt_r[:, :] > k
-                lk = _mk_lookup(jnp.clip(leaf_r[:, :], 0, n_leaves - 1), lc)
-                subs = [tri_feat.at[k, c] for c in range(lc)]
-                f = [lk(lambda c, j=j: subs[c][j]) for j in range(9)]
-                aox = ox - f[_TF_AX]
-                aoy = oy - f[_TF_AY]
-                aoz = oz - f[_TF_AZ]
-                nx_t, ny_t, nz_t = _cross(f[_TF_ABX], f[_TF_ABY],
-                                          f[_TF_ABZ], f[_TF_ACX],
-                                          f[_TF_ACY], f[_TF_ACZ])
-                det = -(dx * nx_t + dy * ny_t + dz * nz_t)
-                tdet = aox * nx_t + aoy * ny_t + aoz * nz_t
-                dax, day, daz = _cross(aox, aoy, aoz, dx, dy, dz)
-                udet = f[_TF_ACX] * dax + f[_TF_ACY] * day + f[_TF_ACZ] * daz
-                vdet = -(f[_TF_ABX] * dax + f[_TF_ABY] * day
-                         + f[_TF_ABZ] * daz)
-                wdet = det - udet - vdet
-                mm = jnp.minimum(jnp.minimum(det - DET_EPS, tdet),
-                                 jnp.minimum(jnp.minimum(udet, vdet), wdet))
-                ta = tdet * pl.reciprocal(jnp.maximum(det, DET_EPS),
-                                          approx=True)
-                better = m & (mm >= 0.0) & (ta < best_r[:, :])
-                best_r[:, :] = _select(better, ta, best_r[:, :])
-                got_r[:, :] = got_r[:, :] | better.astype(jnp.int32)
-                # carry the winner's exact-t numerator/denominator and its
-                # (leaf, k) identity by UNGATED selects: a pl.when(any(..))
-                # gate here is a vector->scalar sync per k-step — measured
-                # to dominate the whole traversal
-                wfe_r[0] = _select(better, tdet, wfe_r[0])
-                wfe_r[1] = _select(better, det, wfe_r[1])
-                wink_r[:, :] = _select(
-                    better, leaf_r[:, :] | (k << 16), wink_r[:, :])
-                ksteps[0, 0] += 1
-
-            def k_body(k, _):
-                leaf_k_step(k)
-                return 0
+            winfo_r[:, :] = jnp.full(shape, NO_TEX << 8, jnp.int32)
+            cur_r[:, :] = (jnp.zeros(shape, jnp.int32)
+                           if have_tris else
+                           jnp.full(shape, NDONE, jnp.int32))
 
             def one_round():
-                node_burst(0)
-                # leaf phase: static trip (a jnp.max(cnt) bound is one
-                # more vector->scalar sync per round, and some lane almost
-                # always holds a full leaf anyway)
-                jax.lax.fori_loop(0, leaf_k, k_body, 0)
-                cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
+                if have_tris:
+                    ox_ = st_f[_OX]
+                    oy_ = st_f[_OY]
+                    oz_ = st_f[_OZ]
+                    dx_ = st_f[_DXR]
+                    dy_ = st_f[_DYR]
+                    dz_ = st_f[_DZR]
+                    inv_dx, inv_dy, inv_dz = _safe_inv_dirs(dx_, dy_, dz_)
+                    for _ in range(NODE_BURST):
+                        node_step(ox_, oy_, oz_, inv_dx, inv_dy, inv_dz)
+
+                    def k_body(k, _):
+                        leaf_k_step(k, ox_, oy_, oz_, dx_, dy_, dz_)
+                        return 0
+
+                    # (a jnp.max(cnt) dynamic bound was measured a
+                    # wash here: the ~1us vector->scalar sync per round
+                    # cancels the saved k-steps — static trip keeps the
+                    # round sync-free)
+                    jax.lax.fori_loop(0, leaf_k, k_body, 0)
+                    cnt_r[:, :] = jnp.zeros(shape, jnp.int32)
+                # completion every round: an alternate-round variant
+                # (finished lanes wait <=1 round, completion cost halved)
+                # measured 133 vs 129 ms — the waiting rounds cost more
+                # than the ~15%-of-round completion block they save
+                completion(frame)
 
             def outer_body(_):
                 one_round()
-                return jnp.any(cur_r[:, :] < NDONE)
+                return jnp.any(st_i[_IPEND] > 0)
 
             jax.lax.while_loop(lambda f_: f_, outer_body,
-                               jnp.any(cur_r[:, :] < NDONE))
-
-        for frame in range(1, max_frames + 1):
-            seed = lin_u + U32(frame) * frame_index * SEED_STRIDE
-            ox, oy, oz, dx, dy, dz, seed = jittered_ray(seed, basis)
-
-            ctr_r = jnp.ones(shape, jnp.float32)
-            ctr_g = jnp.ones(shape, jnp.float32)
-            ctr_b = jnp.ones(shape, jnp.float32)
-            alive = jnp.ones(shape, jnp.bool_)
-            m_dx = jnp.zeros(shape, jnp.float32)
-            m_dy = jnp.zeros(shape, jnp.float32)
-            m_dz = jnp.zeros(shape, jnp.float32)
-            m_cr = jnp.zeros(shape, jnp.float32)
-            m_cg = jnp.zeros(shape, jnp.float32)
-            m_cb = jnp.zeros(shape, jnp.float32)
-
-            for b in range(max_bounces):
-                seed = seed + U32(b)                         # shader:659
-
-                if have_sph:
-                    t_sph, s_idx = sphere_nearest_smem(
-                        sph_smem, n_sph_pad, shape, ox, oy, oz, dx, dy, dz)
-                else:
-                    t_sph = jnp.full(shape, BIG)
-                    s_idx = jnp.zeros(shape, jnp.int32)
-
-                if have_tris:
-                    wx, wy, wz = _cross(ox, oy, oz, dx, dy, dz)
-                    winfo_r[:, :] = jnp.full(shape, NO_TEX << 8, jnp.int32)
-                    wink_r[:, :] = jnp.zeros(shape, jnp.int32)
-                    # sphere wins ties: triangle improve is strict <
-                    traverse(ox, oy, oz, dx, dy, dz, wx, wy, wz, alive,
-                             t_sph)
-                    # winner attribute fetch: ONE pass over k (sync-free
-                    # fori; the winner's k is per-lane) gathering the
-                    # shading normal + packed (mat, texslot) of lanes whose
-                    # winner sits at this k
-                    win_leaf = jnp.bitwise_and(wink_r[:, :],
-                                               jnp.int32(0xFFFF))
-                    win_k = jax.lax.shift_right_logical(wink_r[:, :], 16)
-                    lanew = jnp.bitwise_and(win_leaf, 127)
-                    sels = [win_leaf >= (c * 128) for c in range(1, lc)]
-
-                    def fetch_k(kf, _):
-                        mk_ = win_k == kf
-                        subs = [tri_feat.at[kf, c] for c in range(lc)]
-
-                        def lkw(get):
-                            g = jnp.take_along_axis(get(0), lanew, axis=1)
-                            for c in range(1, lc):
-                                g = jnp.where(sels[c - 1],
-                                              jnp.take_along_axis(
-                                                  get(c), lanew, axis=1), g)
-                            return g
-
-                        wfe_r[4] = _select(mk_, lkw(
-                            lambda c: subs[c][_TF_SNX]), wfe_r[4])
-                        wfe_r[5] = _select(mk_, lkw(
-                            lambda c: subs[c][_TF_SNY]), wfe_r[5])
-                        wfe_r[6] = _select(mk_, lkw(
-                            lambda c: subs[c][_TF_SNZ]), wfe_r[6])
-                        winfo_r[:, :] = _select(mk_, lkw(
-                            lambda c: tri_info[kf, c]), winfo_r[:, :])
-                        return 0
-
-                    jax.lax.fori_loop(0, leaf_k, fetch_k, 0)
-                    winfo_r[:, :] = _select(
-                        got_r[:, :] > 0, winfo_r[:, :],
-                        jnp.full(shape, NO_TEX << 8, jnp.int32))
-                    use_tri = (got_r[:, :] > 0) & alive
-                    # exact hit distance from the winner's carried
-                    # tdet/det (the traversal t was approx-reciprocal,
-                    # order-only; det > DET_EPS for every winner)
-                    t_ex = wfe_r[0] / jnp.maximum(wfe_r[1], DET_EPS)
-                    t_hit = _select(use_tri, t_ex, t_sph)
-                else:
-                    use_tri = jnp.zeros(shape, jnp.bool_)
-                    t_hit = t_sph
-
-                hit = alive & (t_hit < BIG)
-                t_safe = _select(hit, t_hit, 0.0)
-                hx = ox + t_safe * dx
-                hy = oy + t_safe * dy
-                hz = oz + t_safe * dz
-
-                use_t = use_tri.astype(jnp.float32)
-                use_s = (hit & (~use_tri)).astype(jnp.float32)
-
-                # material attrs: per-lane gathers from <=128-entry tables
-                if have_tris:
-                    mid = winfo_r[:, :] & 0xFF
-                    mlk = _mk_lookup(mid, 1)
-                    (t_al_r, t_al_g, t_al_b, t_em_r, t_em_g, t_em_b,
-                     t_emp, t_rough, t_metal, t_refr,
-                     t_tex) = fetch_mat_attrs(mlk, mat_tab)
-                else:
-                    zero = jnp.zeros(shape, jnp.float32)
-                    t_al_r = t_al_g = t_al_b = zero
-                    t_em_r = t_em_g = t_em_b = zero
-                    t_emp = t_rough = t_metal = t_refr = zero
-                    t_tex = zero - 1.0
-
-                if have_sph:
-                    slk = _mk_lookup(s_idx, 1)
-                    (scx, scy, scz, s_al_r, s_al_g, s_al_b, s_em_r, s_em_g,
-                     s_em_b, s_emp, s_rough, s_metal, s_refr,
-                     s_tex) = fetch_sph_attrs(slk, sph_tab)
-                    snx, sny, snz = _normalize(hx - scx, hy - scy, hz - scz)
-                else:
-                    zero = jnp.zeros(shape, jnp.float32)
-                    s_al_r = s_al_g = s_al_b = zero
-                    s_em_r = s_em_g = s_em_b = zero
-                    s_emp = s_rough = s_metal = s_refr = zero
-                    s_tex = zero - 1.0
-                    snx = sny = snz = zero
-
-                if have_tris:
-                    nxh = wfe_r[4] * use_t + snx * use_s
-                    nyh = wfe_r[5] * use_t + sny * use_s
-                    nzh = wfe_r[6] * use_t + snz * use_s
-                else:
-                    nxh, nyh, nzh = snx * use_s, sny * use_s, snz * use_s
-
-                alr = t_al_r * use_t + s_al_r * use_s
-                alg = t_al_g * use_t + s_al_g * use_s
-                alb = t_al_b * use_t + s_al_b * use_s
-                emr = t_em_r * use_t + s_em_r * use_s
-                emg = t_em_g * use_t + s_em_g * use_s
-                emb = t_em_b * use_t + s_em_b * use_s
-                emp = t_emp * use_t + s_emp * use_s
-                rough = t_rough * use_t + s_rough * use_s
-                metal = t_metal * use_t + s_metal * use_s
-                refr = t_refr * use_t + s_refr * use_s
-                texid = (t_tex * use_t + s_tex * use_s
-                         + (-1.0) * (1.0 - use_t - use_s))
-
-                live = alive & hit
-                miss_now = alive & (~hit)
-
-                m_dx = _select(miss_now, dx, m_dx)
-                m_dy = _select(miss_now, dy, m_dy)
-                m_dz = _select(miss_now, dz, m_dz)
-                m_cr = _select(miss_now, ctr_r, m_cr)
-                m_cg = _select(miss_now, ctr_g, m_cg)
-                m_cb = _select(miss_now, ctr_b, m_cb)
-
-                if textured:
-                    has_tex = (texid > -0.5) & live
-                    livef = live.astype(jnp.float32)
-                    htf = has_tex.astype(jnp.float32)
-                    s_r = ctr_r * _select(has_tex, emp, emr * emp) * livef
-                    s_g = ctr_g * _select(has_tex, emp, emg * emp) * livef
-                    s_b_ = ctr_b * _select(has_tex, emp, emb * emp) * livef
-                    # uv: space-mixed barycentrics (shader:257-268) from
-                    # the textured-triangle side table (<=128 entries)
-                    if have_tris:
-                        slot = jnp.clip(
-                            jax.lax.shift_right_logical(winfo_r[:, :], 8),
-                            0, 127)
-                        xlk = _mk_lookup(slot, 1)
-                        uu, vv = tex_uv(xlk, tex_tab, ox, oy, oz,
-                                        dx, dy, dz)
-                    else:
-                        uu = vv = jnp.zeros(shape, jnp.float32)
-                    ra = uu * use_t + snx * use_s
-                    rb = vv * use_t + sny * use_s
-                    rc = snz * use_s
-                    row = ((frame - 1) * max_bounces + b) * 8
-                    rec_ref[row + 0] = s_r
-                    rec_ref[row + 1] = s_g
-                    rec_ref[row + 2] = s_b_
-                    rec_ref[row + 3] = ra
-                    rec_ref[row + 4] = rb
-                    rec_ref[row + 5] = rc
-                    rec_ref[row + 6] = _select(has_tex, texid,
-                                               jnp.float32(-1.0))
-                    rec_ref[row + 7] = use_s * htf
-                    keep = 1.0 - livef * (1.0 - htf)
-                    ctr_r = ctr_r * (keep + livef * (1.0 - htf) * alr)
-                    ctr_g = ctr_g * (keep + livef * (1.0 - htf) * alg)
-                    ctr_b = ctr_b * (keep + livef * (1.0 - htf) * alb)
-                else:
-                    livef = live.astype(jnp.float32)
-                    col_r = col_r + emr * emp * ctr_r * livef
-                    col_g = col_g + emg * emp * ctr_g * livef
-                    col_b = col_b + emb * emp * ctr_b * livef
-                    ctr_r = ctr_r * (1.0 - livef + livef * alr)
-                    ctr_g = ctr_g * (1.0 - livef + livef * alg)
-                    ctr_b = ctr_b * (1.0 - livef + livef * alb)
-
-                # ---- scatter (shader:590-649) — shared vreg_common ------
-                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_seed = scatter_step(
-                    dx, dy, dz, nxh, nyh, nzh, hx, hy, hz,
-                    rough, metal, refr, seed)
-
-                ox = _select(live, n_ox, ox)
-                oy = _select(live, n_oy, oy)
-                oz = _select(live, n_oz, oz)
-                dx = _select(live, n_dx, dx)
-                dy = _select(live, n_dy, dy)
-                dz = _select(live, n_dz, dz)
-                seed = jnp.where(live, n_seed, seed)
-                alive = live
+                               jnp.any(st_i[_IPEND] > 0))
 
             frow = (frame - 1) * 8
+            m_dx = st_f[_MDX]
+            m_dy = st_f[_MDY]
+            m_dz = st_f[_MDZ]
             miss_ref[frow + 0] = m_dx
             miss_ref[frow + 1] = m_dy
             miss_ref[frow + 2] = m_dz
-            miss_ref[frow + 3] = m_cr
-            miss_ref[frow + 4] = m_cg
-            miss_ref[frow + 5] = m_cb
+            miss_ref[frow + 3] = st_f[_MCR]
+            miss_ref[frow + 4] = st_f[_MCG]
+            miss_ref[frow + 5] = st_f[_MCB]
             miss_ref[frow + 6] = (
                 (m_dx * m_dx + m_dy * m_dy + m_dz * m_dz) > 0.0
             ).astype(jnp.float32)
             miss_ref[frow + 7] = jnp.zeros(shape, jnp.float32)
 
-        color_ref[0] = col_r
-        color_ref[1] = col_g
-        color_ref[2] = col_b
-        # rows 3/4: per-tile traversal counters (node-phase iterations and
-        # leaf-phase k-steps), broadcast per lane — the round-3 work-census
-        # evidence (VERDICT task 1 done-criterion)
+        color_ref[0] = st_f[_CLR]
+        color_ref[1] = st_f[_CLG]
+        color_ref[2] = st_f[_CLB]
+        # rows 3/4: per-tile traversal counters; row 5: per-lane REAL
+        # useful k-steps (padded-vs-real = row4*lanes / sum(row5))
         color_ref[3] = jnp.full(shape, 1.0) * nsteps[0, 0].astype(jnp.float32)
         color_ref[4] = jnp.full(shape, 1.0) * ksteps[0, 0].astype(jnp.float32)
-        for j in range(5, 8):
+        color_ref[5] = st_i[_IUSE].astype(jnp.float32)
+        for j in range(6, 8):
             color_ref[j] = jnp.zeros(shape, jnp.float32)
 
     return kernel
@@ -921,7 +970,9 @@ def render_rays_trav(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
         pltpu.VMEM((8, 128), jnp.int32),     # got
         pltpu.VMEM((8, 8, 128), jnp.float32),  # winner features
         pltpu.VMEM((8, 128), jnp.int32),     # winfo
-        pltpu.VMEM((8, 128), jnp.int32),     # wink (leaf | k<<16)
+        pltpu.VMEM((19, 8, 128), jnp.float32),  # per-lane path state f32
+        pltpu.VMEM((4, 8, 128), jnp.int32),  # per-lane path state i32
+        pltpu.VMEM((8, 128), jnp.uint32),    # per-lane seed
         pltpu.SMEM((1, 1), jnp.int32),       # node-step counter
         pltpu.SMEM((1, 1), jnp.int32),       # leaf k-step counter
     ]
@@ -952,7 +1003,10 @@ def render_rays_trav(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
     miss = miss.reshape(8 * frames, n_pad)
 
     color = main[0:3, :n].T                              # (N,3)
-    stats = (main[3, ::RAY_TILE], main[4, ::RAY_TILE])   # per-tile counters
+    # per-tile counters: node iterations, issued k-steps, and the summed
+    # per-lane REAL k-steps (padded-vs-real = ksteps*RAY_TILE / useful)
+    stats = (main[3, ::RAY_TILE], main[4, ::RAY_TILE],
+             main[5].reshape(n_tiles, RAY_TILE).sum(axis=1))
     if skip_postpass:
         extra = jnp.sum(miss[:1, :1])
         if rec is not None:
