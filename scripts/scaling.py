@@ -91,11 +91,11 @@ def mp_worker(args) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
     from rtm_tpu.parallel.distributed import initialize_distributed
-    nproc, pid = args.mp_nproc, args.mp_pid
+    nproc, pid, vdev = args.mp_nproc, args.mp_pid, args.mp_vdev
     ok = initialize_distributed(
         coordinator_address=f"127.0.0.1:{args.mp_port}",
         num_processes=nproc, process_id=pid)
-    assert ok and jax.device_count() == nproc
+    assert ok and jax.device_count() == nproc * vdev
     import jax.numpy as jnp
     import numpy as np
     from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
@@ -103,7 +103,8 @@ def mp_worker(args) -> int:
     from jax.sharding import Mesh
     from rtm_tpu.parallel.sharding import DP_AXIS
 
-    cfg = RenderConfig(width=args.width, height=args.band * nproc,
+    cfg = RenderConfig(width=args.width,
+                       height=args.band * nproc * vdev,
                        max_bounces=args.bounces, max_frames=1,
                        draw_environment=True)
     scene = build_tracer_scene(load_scene(args.scene))
@@ -126,7 +127,7 @@ def mp_worker(args) -> int:
     dt = (time.perf_counter() - t0) / args.repeats
     if pid == 0:
         rays = cfg.num_pixels * cfg.max_bounces
-        print(f"MP={nproc} rays_per_s={rays / dt:.1f}", flush=True)
+        print(f"MP={nproc}x{vdev} rays_per_s={rays / dt:.1f}", flush=True)
     return 0
 
 
@@ -135,14 +136,24 @@ def run_multiprocess(args, n_cores: int, s1: float | None):
     honest weak-scaling efficiency of the distributed sharded renderer."""
     import subprocess
     rows = []
-    for nproc in [c for c in (1, 2, 4, 8) if c <= n_cores]:
+    # (nproc, vdev): pinned processes x virtual devices per process.  The
+    # (2, 2) config runs the SAME 4-device global mesh (same HLO, same
+    # collectives) as the n=4 virtual row, but scheduled 2 devices per
+    # pinned core — if it reaches the 2-core ceiling, the n=4 virtual-mesh
+    # shortfall is XLA-CPU-client serialization (testbed), not framework
+    # overhead (VERDICT r3 task 8).
+    configs = [(c, 1) for c in (1, 2, 4, 8) if c <= n_cores]
+    if n_cores >= 2:
+        configs.append((2, 2))
+    for nproc, vdev in configs:
         procs = []
-        port = 9431 + nproc
+        port = 9431 + nproc + 17 * vdev
         for pid in range(nproc):
             procs.append(subprocess.Popen(
                 ["taskset", "-c", str(pid % n_cores), sys.executable,
                  os.path.abspath(__file__), "--mp-pid", str(pid),
-                 "--mp-nproc", str(nproc), "--mp-port", str(port),
+                 "--mp-nproc", str(nproc), "--mp-vdev", str(vdev),
+                 "--mp-port", str(port),
                  "--band", str(args.band), "--width", str(args.width),
                  "--bounces", str(args.bounces), "--scene",
                  str(args.scene), "--backend", args.backend,
@@ -151,25 +162,34 @@ def run_multiprocess(args, n_cores: int, s1: float | None):
                 text=True,
                 env=dict(os.environ, RTM_SCALING_PLATFORM="cpu",
                          XLA_FLAGS="--xla_force_host_platform_device_"
-                                   "count=1")))
+                                   f"count={vdev}")))
         outs = [p.communicate(timeout=900) for p in procs]
         rps = None
         for line in outs[0][0].splitlines():
-            if line.startswith(f"MP={nproc} "):
+            if line.startswith(f"MP={nproc}x{vdev} "):
                 rps = float(line.split("=")[-1])
         if rps is None:
             tail = "\n".join(outs[0][1].splitlines()[-6:])
-            print(f"# multiprocess n={nproc} FAILED:\n{tail}", flush=True)
+            print(f"# multiprocess n={nproc}x{vdev} FAILED:\n{tail}",
+                  flush=True)
             continue
-        rows.append((nproc, rps))
-        print(f"# multiprocess n={nproc}: rays/s={rps:.0f}", flush=True)
+        rows.append(((nproc, vdev), rps))
+        print(f"# multiprocess n={nproc}x{vdev}: rays/s={rps:.0f}",
+              flush=True)
     out = []
     if rows:
         base = rows[0][1]
-        for nproc, rps in rows:
-            eff = rps / (nproc * base)
-            out.append((nproc, rps, eff))
-            print(f"# multiprocess eff({nproc}) = {eff:.1%}", flush=True)
+        for (nproc, vdev), rps in rows:
+            n_dev = nproc * vdev
+            # vdev>1: efficiency vs the CORE ceiling — 2 pinned cores
+            # can deliver at most 2 x base rays/s regardless of how many
+            # virtual devices they time-share
+            eff = (rps / (min(nproc, n_cores) * base) if vdev > 1
+                   else rps / (nproc * base))
+            out.append((f"{nproc}x{vdev}", rps, eff))
+            print(f"# multiprocess eff({nproc}x{vdev}) = {eff:.1%} "
+                  f"({'vs core ceiling' if vdev > 1 else 'weak'})",
+                  flush=True)
     return out
 
 
@@ -186,6 +206,9 @@ def main() -> int:
     ap.add_argument("--single-core-probe", action="store_true")
     ap.add_argument("--mp-pid", type=int, default=None)
     ap.add_argument("--mp-nproc", type=int, default=2)
+    ap.add_argument("--mp-vdev", type=int, default=1,
+                    help="virtual devices per process (2-proc x 2-vdev "
+                         "localizes the n=4 virtual-mesh loss)")
     ap.add_argument("--mp-port", type=int, default=9431)
     args = ap.parse_args()
 
