@@ -778,7 +778,10 @@ def _make_trav_kernel(*, n_nodes, n_leaves, leaf_k, nc, lc, n_sph_pad,
                 cont, jnp.full(shape, NO_TEX << 8, jnp.int32),
                 winfo_r[:, :])
             cnt_r[:, :] = _select(cont, jnp.int32(0), cnt_r[:, :])
-            cur_r[:, :] = _select(cont, jnp.int32(0), cur_r[:, :])
+            # spheres-only scenes have no traversal: relaunched lanes go
+            # straight back to DONE so the next round completes them
+            cur_r[:, :] = _select(
+                cont, jnp.int32(0 if have_tris else NDONE), cur_r[:, :])
 
         for frame in range(1, max_frames + 1):
             seed0 = lin_u + U32(frame) * frame_index * SEED_STRIDE

@@ -43,6 +43,19 @@ def test_megakernel_tpu_matches_xla_cpu(scene3, image_compare):
     image_compare(ref, got)
 
 
+def test_mxu_tpu_matches_xla_cpu(scene3, image_compare):
+    """The round-4 headline backend on hardware: the bf16x3 K-stacked
+    pair-test matmul, the t-mantissa index pack and the chunk-cull
+    OR-tree vs the XLA oracle."""
+    cam = Camera().spec(CFG.width, CFG.height)
+    ref = np.asarray(render_dispatch(scene3, cam, jnp.uint32(1), CFG,
+                                     backend="xla"))
+    with jax.default_device(_tpu()):
+        got = np.asarray(render_dispatch(scene3, cam, jnp.uint32(1), CFG,
+                                         backend="mxu"))
+    image_compare(ref, got)
+
+
 def test_trav_tpu_matches_xla_cpu(scene3, image_compare):
     """The per-lane traversal kernel's dynamic_gather lowering + value-
     carried loops on real hardware vs the XLA oracle."""
