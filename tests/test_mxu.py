@@ -113,7 +113,8 @@ def test_pair_rows_match_intersect_oracle():
     hit mask and t EXACTLY in f32 on random geometry (the on-chip matmul
     adds only the bf16x3 stacking, ~2^-17 relative)."""
     from rtm_tpu.ops.intersect import DET_EPS, TriFeatures, triangle_hits
-    from rtm_tpu.ops.pallas.mxu_kernel import K, Q, build_mxu_tables
+    from rtm_tpu.ops.pallas.mxu_kernel import (K, Q, _morton3,
+                                               build_mxu_tables)
 
     rng = np.random.default_rng(11)
     t = 200
@@ -123,6 +124,11 @@ def test_pair_rows_match_intersect_oracle():
     nsh = np.cross(vb - va, vc - va)
     tabs = build_mxu_tables(va, vb, vc, nsh, np.zeros(t, np.int64),
                             np.full(1, -1, np.int32), 1, 0)
+    # the builder Morton-orders triangles for chunk culling: permute the
+    # oracle arrays to the table order before the per-pair comparison
+    order = np.argsort(
+        _morton3(((va + vb + vc) / 3.0).astype(np.float64)), kind="stable")
+    va, vb, vc = va[order], vb[order], vc[order]
     # un-stack the bf16x3 rows back to f32 (hi + lo halves)
     pair = np.asarray(tabs.arrays.pair, np.float32)
     rows = (pair[..., :K] + pair[..., 2 * K:3 * K]).reshape(
