@@ -179,6 +179,13 @@ def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
             rows[:, qi, 3:6] = qq - p               # on m = o x d
         rows[:, 3, 6:9] = n                         # tdet: + o.n
         rows[:, 3, 9] = -(a * n).sum(-1)            # ... - a.n
+        # padding rows: all-zero features give s=td=0, which would PASS
+        # a min-chain-only mask — park their constant tdet term at -1 so
+        # the mask needs no separate det>eps compare (the min-sweep's
+        # only remaining det use is the ordering reciprocal; a real pair
+        # with 0 < det <= eps loses the exact f32 winner retest exactly
+        # as the production M-T rejects it)
+        rows[t:, 3, 9] = -1.0
         # chunk layout: (nc, Q*128, K) with the 128-tri chunk minor,
         # then the bf16x3 K-stack [A_hi | A_hi | A_lo] (see KS above)
         pair_f32 = (rows.reshape(nc, 128, Q, K).transpose(0, 2, 1, 3)
@@ -357,7 +364,11 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                                         jnp.minimum(s3, td))
                         tt = td * pl.reciprocal(
                             jnp.maximum(det, DET_EPS), approx=True)
-                        ok = (m >= 0.0) & (det > DET_EPS)
+                        # no det>eps here: padding rows self-exclude via
+                        # their tdet=-1 constant (build_mxu_tables), and
+                        # grazing det<=eps survivors are rejected by the
+                        # exact winner retest like the production M-T
+                        ok = m >= 0.0
                         ti = rowi + (c * 128 + t0)
                         packed = jax.lax.bitcast_convert_type(
                             jnp.bitwise_or(
