@@ -32,8 +32,8 @@ def _add_render_args(p):
     p.add_argument("--no-environment", action="store_true",
                    help="disable sky lighting (DrawEnvironment=0)")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "pallas", "megakernel",
-                            "wavefront", "wavefront2"])
+                   choices=["auto", "xla", "pallas", "mxu", "trav",
+                            "megakernel", "wavefront2"])
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--debug", type=int, default=0,
@@ -59,7 +59,10 @@ def _setup(args, want_host_scene: bool = False):
                          load_scene)
     backend = args.backend
     if backend == "auto":
-        backend = ("megakernel" if jax.devices()[0].platform == "tpu"
+        # committed A/B: BENCH_BACKENDS_r04.json — the mxu kernel is the
+        # fastest forward path for scenes inside its table limits;
+        # render_dispatch auto-falls back trav -> megakernel beyond them
+        backend = ("mxu" if jax.devices()[0].platform == "tpu"
                    else "xla")
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, max_frames=args.spp,

@@ -9,11 +9,13 @@ until-then-idle MXU runs the ray-triangle pair test as a matmul:
 
   the Moller-Trumbore quantities are LINEAR in a 10-dim ray feature
   vector f = [d, o x d, o, 1] (Pluecker form), so one
-  (Q*128, K) @ (K, 1024) f32 matmul per 128-triangle chunk computes
-  s1, s2, s3 (edge side tests; their sum is det = -d.n) and
-  tdet = (o - a).n for ALL pairs — measured EXACT vs the production
-  M-T sweep (mask parity 1.0) at 16 us/tile-bounce for 1856 triangles
-  where the megakernel's tile-uniform VPU sweep pays ~55 us.
+  (Q*128, KS=48) @ (48, 1024) bf16x3-stacked matmul per 128-triangle
+  chunk computes s1, s2, s3 (edge side tests; their sum is det = -d.n)
+  and tdet = (o - a).n for ALL pairs — f32-grade (see KS below),
+  validated EXACT vs the production M-T sweep (mask parity 1.0) at
+  ~16 us/tile-bounce for 1856 triangles where the megakernel's
+  tile-uniform VPU sweep pays ~55 us.  Morton-ordered chunks are culled
+  per (tile, bounce) against their bboxes with one scalar bitmask.
 
 Per bounce, per (8,128)-vreg ray tile (1024 rays):
   1. spheres: scalar SMEM loop (vreg_common.sphere_nearest_smem);

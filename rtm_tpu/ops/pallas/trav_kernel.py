@@ -1,5 +1,6 @@
-"""Per-LANE BVH traversal path-tracing kernel — the round-3 production
-forward path.
+"""Per-LANE BVH traversal path-tracing kernel — the O(log T) forward
+path for scenes beyond the mxu kernel's brute-force table limits
+(round 3; round 4 added persistent per-lane bounce scheduling).
 
 Round 2's fused megakernel sweeps SAH treelet clusters with tile-uniform
 culling; a measured census (scripts/census_schemes.py) shows that cull
