@@ -1221,14 +1221,21 @@ def mega_postpass(color, miss, rec, scene: TracerScene, cfg: RenderConfig,
                 texid = rec[row + 6, :n]
                 sflag = rec[row + 7, :n]
                 has_tex = texid > -0.5
-                # sphere lanes: (ra,rb,rc) is the unit normal -> equirect uv
-                uu = jnp.where(
-                    sflag > 0.5,
-                    jnp.arctan2(rc, ra) / TWO_PI + 0.5, ra)
-                vv = jnp.where(
-                    sflag > 0.5,
-                    jnp.arcsin(jnp.clip(rb, -1.0 + 1e-6, 1.0 - 1e-6))
-                    / PI + 0.5, rb)
+                if int(scene.sph_pos.shape[0]) == 0:
+                    # no spheres in the scene (static shape info): the
+                    # sphere-normal -> equirect branch can never fire, so
+                    # skip its arctan2/arcsin over all B*N lanes
+                    uu, vv = ra, rb
+                else:
+                    # sphere lanes: (ra,rb,rc) is the unit normal ->
+                    # equirect uv
+                    uu = jnp.where(
+                        sflag > 0.5,
+                        jnp.arctan2(rc, ra) / TWO_PI + 0.5, ra)
+                    vv = jnp.where(
+                        sflag > 0.5,
+                        jnp.arcsin(jnp.clip(rb, -1.0 + 1e-6, 1.0 - 1e-6))
+                        / PI + 0.5, rb)
                 # untextured lanes: collapse the tap onto row 0
                 uus.append(jnp.where(has_tex, uu, 0.0))
                 vvs.append(jnp.where(has_tex, vv, 0.0))
