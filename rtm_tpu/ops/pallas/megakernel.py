@@ -45,6 +45,7 @@ post-pass from the recorded sphere normal.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -1199,7 +1200,23 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
 def mega_postpass(color, miss, rec, scene: TracerScene, cfg: RenderConfig,
                   n: int):
     """The XLA texture/sky reconstruction over the kernel's deferred
-    records (module-level so scripts can profile/tune it in isolation)."""
+    records.  Routes textured scenes to the round-5 compacted form
+    (mega_postpass_compact) — ~2.4x cheaper on the headline frame — with
+    an in-graph fallback to the dense form when a frame's significant
+    record count exceeds the compact capacity.  `RTM_DENSE_POSTPASS=1`
+    forces the dense form (A/B and debugging)."""
+    if (scene.any_textured and cfg.max_bounces > 1
+            and not os.environ.get("RTM_DENSE_POSTPASS")):
+        return mega_postpass_compact(color, miss, rec, scene, cfg, n)
+    return mega_postpass_dense(color, miss, rec, scene, cfg, n)
+
+
+def mega_postpass_dense(color, miss, rec, scene: TracerScene,
+                        cfg: RenderConfig, n: int):
+    """The original dense reconstruction: one texture tap per
+    (ray, bounce) slot — B*N gather rows of which only the textured
+    fraction (11% on the headline scene) are real (module-level so
+    scripts can profile/tune it in isolation)."""
     frames = cfg.max_frames
     bounces = cfg.max_bounces
     textured = scene.any_textured
@@ -1272,3 +1289,215 @@ def mega_postpass(color, miss, rec, scene: TracerScene, cfg: RenderConfig,
 
     color = color / jnp.float32(frames)                  # shader:711
     return color
+
+
+def _seg_scan8(first, v3, bounces: int, op: str):
+    """Segmented inclusive Hillis-Steele scan of (L, 3) values, op
+    'add' or 'mul'.
+
+    `first` marks segment starts; segments are <= `bounces` elements long
+    (one per recorded bounce of one ray), so ceil(log2(bounces)) masked
+    shift steps complete the scan — 3 elementwise passes for the 8-bounce
+    headline instead of an 18-level associative_scan over the whole axis.
+    Within-segment combination is tree-ordered (vs the dense form's
+    sequential bounce order): <= bounces terms, ulp-level difference.
+    """
+    ident = np.float32(0.0 if op == "add" else 1.0)
+    stop = first
+    d = 1
+    while d < bounces:
+        # element j-d's running values, identity-filled for j < d
+        sh_v = jnp.concatenate(
+            [jnp.full((d, 3), ident, v3.dtype), v3[:-d]])
+        sh_f = jnp.concatenate([jnp.ones((d,), jnp.bool_), stop[:-d]])
+        keep = jnp.where(stop[:, None], ident, sh_v)
+        v3 = v3 + keep if op == "add" else v3 * keep
+        stop = stop | sh_f
+        d *= 2
+    return v3
+
+
+def mega_postpass_compact(color, miss, rec, scene: TracerScene,
+                          cfg: RenderConfig, n: int, cap: int | None = None):
+    """Compacted texture/sky reconstruction (round 5, VERDICT r4 task 1).
+
+    The dense post-pass pays one latency-bound gather row per
+    (ray, bounce) slot — B*N taps, ~89% of them dead on the headline
+    frame (untextured slots collapse onto row 0 but still cost the
+    ~10 ns/row gather-engine issue slot).  This form taps only the REAL
+    records:
+
+      1. a SIGNIFICANT mask per slot — textured (needs a texel) or
+         emissive (contributes s_term * pt) — built elementwise;
+      2. ONE `lax.top_k` over the negated ray-major slot ids with a
+         "not significant" high bit: the cap smallest keys, ascending,
+         ARE the compact slot list, grouped by ray with bounces ascending
+         (the r4 gather matrix priced sort-compaction as break-even only
+         because it scattered results back to (B, N) at ~24 ms — this
+         form never scatters, and top_k costs 1/4 of the full sort);
+      3. one gather of the packed 8-field records at those slots, one
+         texture tap per compact slot (sample_texture_quads), and the
+         emission/albedo chain of shader:575-586 evaluated IN COMPACT
+         ORDER with a segmented scan (_seg_scan8): per-ray texture-color
+         sum and albedo product land on each segment's last element;
+      4. per-ray results read back with ONE n-row gather at
+         start[r] + cnt[r] - 1 (cnt/start are a dense reduce + cumsum) —
+         no scatter anywhere.
+
+    Capacity: `cap` = n slots (1 significant record per ray on average;
+    headline frame runs ~13% slot occupancy).  A frame whose n_sig
+    exceeds cap falls back to the dense form via `lax.cond`, so the
+    result is always exact — both branches are compiled, neither is
+    silent.  Everything is shared by the megakernel/trav/mxu drivers
+    (they emit the same record layout).
+
+    Reference semantics unchanged: RayTracing.shader:575-586 (albedo
+    chain), :663-666 (sky at miss).  Cost on the headline frame
+    (scripts/postpass_compact_probe.py, POSTPASS_r05.json): the 2^21-key
+    sort + 3 compact gathers replace 2.1M dense taps.
+    """
+    frames = cfg.max_frames
+    bounces = cfg.max_bounces
+    assert scene.any_textured
+    draw_env = jnp.float32(1.0 if cfg.draw_environment else 0.0)
+    nb = n * bounces
+    bits = max(int(np.ceil(np.log2(max(nb, 2)))), 1)
+    assert bits <= 30, "slot id + sentinel bit must fit i32"
+    if cap is None:
+        cap = n
+    have_sph = int(scene.sph_pos.shape[0]) > 0
+
+    for f in range(frames):
+        rblk = rec[f * bounces * 8:(f + 1) * bounces * 8, :n]
+        rt = rblk.reshape(bounces, 8, n)
+        texid_b = rt[:, 6]                                # (B, n)
+        s_abs = jnp.abs(rt[:, 0]) + jnp.abs(rt[:, 1]) + jnp.abs(rt[:, 2])
+        sig = (texid_b > -0.5) | (s_abs > 0.0)            # (B, n)
+
+        sig_rays = sig.T                                  # (n, B)
+        cnt = jnp.sum(sig_rays.astype(jnp.int32), axis=1)     # (n,)
+        start = jnp.cumsum(cnt) - cnt
+        n_sig = start[-1] + cnt[-1]
+
+        def compact_branch(rt=rt, sig_rays=sig_rays, cnt=cnt, start=start,
+                           color=color):
+            slot = jnp.arange(nb, dtype=jnp.int32)
+            key = slot | jnp.where(sig_rays.reshape(-1), 0,
+                                   jnp.int32(1) << bits)
+            # top_k of the negated keys = the cap smallest keys in
+            # ascending order — the same compaction as lax.sort(key)[:cap]
+            # at 1/4 the cost (13.7 -> 3.5 ms on the 2^21-slot headline,
+            # POSTPASS_r05.json micros).  RTM_COMPACT_PRIM=sort keeps the
+            # sort form for A/B.
+            if os.environ.get("RTM_COMPACT_PRIM") == "sort":
+                skey = jax.lax.sort(key, is_stable=False)[:cap]
+            else:
+                skey = -jax.lax.top_k(-key, cap)[0]
+            valid = skey < (jnp.int32(1) << bits)
+            perm = skey & ((jnp.int32(1) << bits) - 1)
+
+            rec_t = rt.transpose(2, 0, 1).reshape(nb, 8)
+            crec = jnp.take(rec_t, perm, axis=0)          # (cap, 8)
+            sterm = crec[:, 0:3]
+            ra, rb2, rc2 = crec[:, 3], crec[:, 4], crec[:, 5]
+            texid_c = crec[:, 6]
+            has_tex = (texid_c > -0.5) & valid
+            if have_sph:
+                sflag = crec[:, 7] > 0.5
+                uu = jnp.where(sflag,
+                               jnp.arctan2(rc2, ra) / TWO_PI + 0.5, ra)
+                vv = jnp.where(
+                    sflag,
+                    jnp.arcsin(jnp.clip(rb2, -1.0 + 1e-6, 1.0 - 1e-6))
+                    / PI + 0.5, rb2)
+            else:
+                uu, vv = ra, rb2
+            uu = jnp.where(has_tex, uu, 0.0)
+            vv = jnp.where(has_tex, vv, 0.0)
+            tid = jnp.where(has_tex, texid_c.astype(jnp.int32), 0)
+            tex_c = sample_texture_quads(
+                scene.tex_quads, scene.tex_size,
+                scene.textures.shape[1], scene.textures.shape[2],
+                tid, uu, vv)                              # (cap, 3)
+
+            htf = has_tex[:, None]
+            f_c = jnp.where(htf, tex_c, 1.0)              # albedo factor
+            # segment starts: first element, or a new ray id.  Invalid
+            # tail slots carry contrib 0 / factor 1 — harmless wherever
+            # their segments land (the end-gather below never points at
+            # them: start/cnt index only the valid prefix).
+            ray_c = perm // bounces
+            first = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), ray_c[1:] != ray_c[:-1]])
+            incl_p = _seg_scan8(first, f_c, bounces, "mul")
+            # exclusive albedo product: previous element's inclusive,
+            # reset to 1 at segment starts
+            excl_p = jnp.where(
+                first[:, None], 1.0,
+                jnp.concatenate([jnp.ones((1, 3), jnp.float32),
+                                 incl_p[:-1]]))
+            contrib = sterm * excl_p * jnp.where(htf, tex_c, 1.0)
+            incl_s = _seg_scan8(first, contrib, bounces, "add")
+            res = jnp.concatenate([incl_s, incl_p], axis=1)   # (cap, 6)
+
+            end_idx = jnp.clip(start + cnt - 1, 0, cap - 1)
+            r6 = jnp.take(res, end_idx, axis=0)           # (n, 6)
+            got = (cnt > 0)[:, None]
+            out = color + jnp.where(got, r6[:, 0:3], 0.0)
+            ptfin = jnp.where(got, r6[:, 3:6], 1.0)
+            return out, ptfin
+
+        def dense_branch(rt=rt, color=color):
+            # the per-frame body of mega_postpass_dense, returning
+            # (color with texture terms added, final albedo product)
+            uus, vvs, tids, texs = [], [], [], []
+            for b in range(bounces):
+                ra = rt[b, 3]
+                rb2 = rt[b, 4]
+                rc2 = rt[b, 5]
+                texid = rt[b, 6]
+                sflag = rt[b, 7]
+                has_tex = texid > -0.5
+                if not have_sph:
+                    uu, vv = ra, rb2
+                else:
+                    uu = jnp.where(sflag > 0.5,
+                                   jnp.arctan2(rc2, ra) / TWO_PI + 0.5, ra)
+                    vv = jnp.where(
+                        sflag > 0.5,
+                        jnp.arcsin(jnp.clip(rb2, -1.0 + 1e-6, 1.0 - 1e-6))
+                        / PI + 0.5, rb2)
+                uus.append(jnp.where(has_tex, uu, 0.0))
+                vvs.append(jnp.where(has_tex, vv, 0.0))
+                tids.append(jnp.where(has_tex, texid.astype(jnp.int32), 0))
+                texs.append(has_tex)
+            tex_all = sample_texture_quads(
+                scene.tex_quads, scene.tex_size,
+                scene.textures.shape[1], scene.textures.shape[2],
+                jnp.stack(tids), jnp.stack(uus), jnp.stack(vvs))
+            out = color
+            pt = jnp.ones((n, 3), jnp.float32)
+            for b in range(bounces):
+                s_term = rt[b, 0:3].T
+                has_tex = texs[b]
+                tex_rgb = tex_all[b]
+                t_alb = jnp.where(has_tex[:, None], tex_rgb, 1.0)
+                term = s_term * pt
+                out = out + jnp.where(has_tex[:, None],
+                                      term * tex_rgb, term)
+                pt = pt * t_alb
+            return out, pt
+
+        color, pt = jax.lax.cond(n_sig <= cap, compact_branch, dense_branch)
+
+        frow = f * 8
+        mdir = miss[frow:frow + 3, :n].T
+        mctr = miss[frow + 3:frow + 6, :n].T
+        mmask = miss[frow + 6, :n] > 0.5
+        mdir = jnp.where(mmask[:, None], mdir,
+                         jnp.array([1.0, 0.0, 0.0], jnp.float32))
+        sky_rgb = env_radiance(scene, mdir)
+        sky_term = mctr * sky_rgb * draw_env * pt
+        color = color + jnp.where(mmask[:, None], sky_term, 0.0)
+
+    return color / jnp.float32(frames)                   # shader:711
