@@ -10,7 +10,6 @@ parameter gradients.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from functools import partial
 
@@ -46,6 +45,31 @@ def render_loss(params: SceneParams, scene: TracerScene, cam: CameraSpec,
     10-minute remote-compile window (VERDICT r3 task 7).
     """
     full = apply_params(scene, params, rebuild_tri_geometry)
+    if backend.startswith("mxu"):
+        # the record-replay differentiable path (VERDICT r4 task 2): the
+        # fast mxu forward emits winner records, XLA replays the shading
+        # graph from them.  LOUD on unsupported configs — the r3 lesson:
+        # a grad backend must never silently reroute.
+        if soft_tau > 0.0:
+            raise ValueError(
+                "render_loss(backend='mxu'): soft primary visibility "
+                "(soft_tau) is not supported on the record-replay path; "
+                "use backend='xla'")
+        if cfg.max_bounces <= 1:
+            raise ValueError(
+                "render_loss(backend='mxu'): MaxBounces==1 flat-shade has "
+                "no mxu path; use backend='xla'")
+        mm = scene.mxu_meta
+        if mm is None or not mm.supported:
+            raise ValueError(
+                "render_loss(backend='mxu'): scene exceeds the mxu table "
+                "limits (<=2047 tris / <=128 materials/spheres); use "
+                "backend='wavefront2' or 'xla'")
+        from ..ops.trace_ref import render_mxu_replay
+        img = render_mxu_replay(full, cam, frame_index, cfg,
+                                interpret=backend.endswith("_interpret"),
+                                remat=remat)
+        return jnp.mean((img - target) ** 2)
     if (bands > 1 and backend.startswith("wavefront2")
             and cfg.max_bounces > 1 and soft_tau == 0.0):
         from ..ops.pallas.megakernel import image_to_slots, use_block8

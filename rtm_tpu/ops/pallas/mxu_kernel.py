@@ -79,6 +79,12 @@ Q = 4                        # matmul rows per tri: s1, s2, s3, tdet
 MAX_TRIS = 2047              # 11-bit index pack in the t mantissa
 IDX_MASK = 0x7FF
 
+# hitrec packing (diff/replay.py record-replay gradients): bits 0..11 the
+# winning primitive index, bit 14 triangle, bit 15 sphere, 0 = miss
+HR_TRI = 1 << 14
+HR_SPH = 1 << 15
+HR_IDX = 0xFFF
+
 # attribute gather table rows (mxu_attr)
 _A_NX, _A_NY, _A_NZ, _A_ANDOT = 0, 1, 2, 3
 _A_SNX, _A_SNY, _A_SNZ = 4, 5, 6
@@ -206,7 +212,10 @@ def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
         attr = _chunk_rep(attr_rows)                # (A_ROWS, NC, 8, 128)
 
         info_rows = np.full((tp,), NO_TEX << 8, np.int64)
-        info_rows[:t] = tri_mat_o | (slot_o << 8)
+        # bits 0..7 material, 8..15 texture slot, 16..26 the ORIGINAL
+        # (pre-Morton-sort) triangle index — the hitrec replay path
+        # (diff gradients) needs scene-order ids, not table positions
+        info_rows[:t] = tri_mat_o | (slot_o << 8) | (order << 16)
         info = _chunk_rep(info_rows[None].astype(np.int32))[0]
     else:
         import ml_dtypes
@@ -227,7 +236,8 @@ def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
 # ---------------------------------------------------------------------------
 
 def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
-                     max_bounces, max_frames, textured, width, height):
+                     max_bounces, max_frames, textured, width, height,
+                     emit_hitrec=False):
     shape = (8, 128)
 
     def kernel(*refs):
@@ -249,6 +259,7 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
         color_ref = next(it)                  # (8,8,128)
         miss_ref = next(it)                   # (8*F,8,128)
         rec_ref = next(it) if textured else None   # (8*F*B,8,128)
+        hitrec_ref = next(it) if emit_hitrec else None  # (F*B,8,128) i32
         rayf = next(it)                       # (K,8,128) f32 scratch
         rayb = next(it)                       # (KS,8,128) bf16 scratch
         acc_ref = next(it)                    # (Q*128,1024) f32 scratch
@@ -446,6 +457,20 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                     winfo = jnp.full(shape, NO_TEX << 8, jnp.int32)
 
                 hit = alive & (t_hit < BIG)
+                if emit_hitrec:
+                    # packed winner identity for the record-replay
+                    # differentiable path (diff/replay.py): bits 0..11 the
+                    # primitive index, bit 14 = triangle, bit 15 = sphere
+                    hr = jnp.zeros(shape, jnp.int32)
+                    if have_tris:
+                        orig = jnp.bitwise_and(
+                            jax.lax.shift_right_logical(winfo, 16), 0x7FF)
+                        hr = jnp.where(use_tri & alive,
+                                       jnp.int32(HR_TRI) | orig, hr)
+                    if have_sph:
+                        hr = jnp.where(hit & (~use_tri),
+                                       jnp.int32(HR_SPH) | s_idx, hr)
+                    hitrec_ref[(frame - 1) * max_bounces + b] = hr
                 t_safe = _select(hit, t_hit, 0.0)
                 hx = ox + t_safe * dx
                 hy = oy + t_safe * dy
@@ -520,8 +545,9 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                     s_g = ctr_g * _select(has_tex, emp, emg * emp) * livef
                     s_b_ = ctr_b * _select(has_tex, emp, emb * emp) * livef
                     if have_tris:
-                        slot = jnp.clip(
-                            jax.lax.shift_right_logical(winfo, 8), 0, 127)
+                        slot = jnp.clip(jnp.bitwise_and(
+                            jax.lax.shift_right_logical(winfo, 8), 0xFF),
+                            0, 127)
                         xlk = _mk_lookup(slot, 1)
                         uu, vv = tex_uv(xlk, tex_tab, ox, oy, oz,
                                         dx, dy, dz)
@@ -593,9 +619,13 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
 
 def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
                     pixel_offset, n_rays: int, interpret: bool = False,
-                    skip_postpass: bool = False):
+                    skip_postpass: bool = False, return_hitrec: bool = False):
     """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) — same
-    contract as megakernel.render_rays_megakernel / render_rays_trav."""
+    contract as megakernel.render_rays_megakernel / render_rays_trav.
+
+    return_hitrec=True additionally returns the (F*B, n_rays) i32 packed
+    winner records (HR_TRI|idx / HR_SPH|idx / 0) that drive the
+    record-replay differentiable path (diff/replay.py)."""
     w, h = cfg.width, cfg.height
     n = n_rays
     n_pad = -(-n // RAY_TILE) * RAY_TILE
@@ -660,12 +690,18 @@ def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
         out_specs.append(pl.BlockSpec((8 * frames * bounces, 8, 128),
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM))
+    if return_hitrec:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (frames * bounces, n_tiles * 8, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((frames * bounces, 8, 128),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
 
     kernel = _make_mxu_kernel(
         n_tris=mm.n_tris, nc=mm.nc, n_sph_pad=n_sph_pad,
         have_tris=have_tris, have_sph=have_sph,
         max_bounces=bounces, max_frames=frames, textured=textured,
-        width=w, height=h)
+        width=w, height=h, emit_hitrec=return_hitrec)
 
     scratch = [
         pltpu.VMEM((K, 8, 128), jnp.float32),       # ray features f32
@@ -690,6 +726,10 @@ def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
         **({"compiler_params": cparams} if cparams else {}),
     )(*inputs)
 
+    outs = list(outs)
+    hitrec = None
+    if return_hitrec:
+        hitrec = outs.pop().reshape(frames * bounces, n_pad)[:, :n]
     if textured:
         main, miss, rec = outs
         rec = rec.reshape(8 * frames * bounces, n_pad)
@@ -707,6 +747,8 @@ def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
         out = color + extra * jnp.float32(1e-30)
     else:
         out = mega_postpass(color, miss, rec, scene, cfg, n)
+    if return_hitrec:
+        return out, hitrec
     return out
 
 

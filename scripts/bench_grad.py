@@ -81,18 +81,27 @@ def main():
     # fwd+bwd graph compiles instead of the whole frame (the r3 512^2
     # compile-window blocker; numerically identical partial L2 sums)
     bands = int(os.environ.get("RTM_GRAD_BANDS", 8 if res >= 512 else 1))
+    remat = True
+    if backend.startswith("mxu"):
+        bands = 1        # the record-replay path is monolithic (no sweep
+        #                  in its graph, so the r3 compile blocker is gone)
+        remat = False    # measured: storing the replay residuals beats
+        #                  recomputing bounces (183 -> 138 ms fwd+bwd);
+        #                  the graph is gather-bound, not memory-bound
 
     # forward value through the loss (adds target diff; sanity row)
     dt, comp = timeit(
         lambda fi: render_loss(params, scene, cam, target, fi, cfg,
-                               backend, True, False, soft_tau=0.0, bands=bands),
+                               backend, remat, False, soft_tau=0.0,
+                               bands=bands),
         jnp.uint32(1))
     emit(f"fwd_loss(bands={bands})", dt, comp)
 
     # fwd+bwd
     dt, comp = timeit(
         lambda fi: loss_and_grad(params, scene, cam, target, fi, cfg,
-                                 backend, True, False, soft_tau=0.0, bands=bands),
+                                 backend, remat, False, soft_tau=0.0,
+                                 bands=bands),
         jnp.uint32(2))
     emit(f"fwd_bwd(bands={bands})", dt, comp)
 

@@ -159,3 +159,24 @@ def test_pair_rows_match_intersect_oracle():
     # near-exact: the hi+lo reconstruction rounds once per coefficient
     agree = (hit == ref_hit).mean()
     assert agree > 0.9999, agree
+
+
+def test_mxu_replay_image_matches_kernel():
+    """render_mxu_replay (the differentiable record-replay path) must
+    reproduce the kernel image: identical rays, recorded topology, same
+    shading semantics — only argmin ulp-ties may differ (<0.5% pixels)."""
+    import jax
+
+    from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
+    from rtm_tpu.ops.trace_ref import render_dispatch, render_mxu_replay
+
+    cfg = RenderConfig(width=32, height=32, max_bounces=4, max_frames=1,
+                       draw_environment=True)
+    cam = Camera().spec(32, 32)
+    scene = build_tracer_scene(load_scene(3))
+    a = np.asarray(render_dispatch(scene, cam, jnp.uint32(1), cfg,
+                                   backend="mxu_interpret"))
+    b = np.asarray(render_mxu_replay(scene, cam, jnp.uint32(1), cfg,
+                                     interpret=True))
+    frac = (np.abs(a - b).max(axis=-1) > 1e-3).mean()
+    assert frac < 0.005, f"{frac:.4f} of pixels differ beyond ulp-tie noise"
