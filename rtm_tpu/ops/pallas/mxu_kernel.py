@@ -85,6 +85,16 @@ HR_TRI = 1 << 14
 HR_SPH = 1 << 15
 HR_IDX = 0xFFF
 
+
+def get_sweep_mode() -> str:
+    """Min-sweep scheduling knob (A/B'd in ROOFLINE_r05.json):
+    'pair' (default) double-buffers the matmul accumulator so the MXU
+    streams chunk c+1 while the VPU min-chains chunk c; 'step8' is the
+    round-4 serial loop (one acc buffer); a full-slab rewrite of the
+    min-chain itself measured a wash (40.5 vs 39.9 ms) and was dropped."""
+    import os
+    return os.environ.get("RTM_MXU_SWEEP", "pair")
+
 # attribute gather table rows (mxu_attr)
 _A_NX, _A_NY, _A_NZ, _A_ANDOT = 0, 1, 2, 3
 _A_SNX, _A_SNY, _A_SNZ = 4, 5, 6
@@ -355,47 +365,75 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                     lanemask, jnp.roll(lanemask, sh, axis=0))
             cmask = lanemask[0, 0]
 
+            def matmul_into(dst, c):
+                # bf16 inputs, f32 accumulate: one MXU pass over the
+                # KS-stacked operands IS the bf16x3 algorithm (the KS
+                # docstring above); measured f32-parity radiance where
+                # the naive f32 DEFAULT (bf16x1) drifted +3%
+                dst[...] = jax.lax.dot_general(
+                    pair_ref[c], rm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            def sweep8(acc, c, best):
+                """16x8-row min-chain over one chunk's matmul output."""
+                for t0 in range(0, 128, 8):
+                    s1 = acc[t0:t0 + 8]
+                    s2 = acc[128 + t0:128 + t0 + 8]
+                    s3 = acc[256 + t0:256 + t0 + 8]
+                    td = acc[384 + t0:384 + t0 + 8]
+                    det = s1 + s2 + s3
+                    m = jnp.minimum(jnp.minimum(s1, s2),
+                                    jnp.minimum(s3, td))
+                    # clamp BELOW the 1e29 got-threshold: extreme td with
+                    # det clamped at eps can overflow the approx
+                    # reciprocal product to +inf, and inf survives the
+                    # index-OR as NaN, which jnp.minimum PROPAGATES —
+                    # turning every real hit for that ray into a miss
+                    # (advisor r4).  1e28 keeps such degenerate grazers
+                    # ordered and finite.
+                    tt = jnp.minimum(
+                        td * pl.reciprocal(
+                            jnp.maximum(det, DET_EPS), approx=True),
+                        np.float32(1e28))
+                    # no det>eps here: padding rows self-exclude via their
+                    # tdet=-1 constant (build_mxu_tables), and grazing
+                    # det<=eps survivors are rejected by the exact winner
+                    # retest like the production M-T
+                    ok = m >= 0.0
+                    ti = rowi + (c * 128 + t0)
+                    packed = jax.lax.bitcast_convert_type(
+                        jnp.bitwise_or(
+                            jnp.bitwise_and(
+                                jax.lax.bitcast_convert_type(
+                                    tt, jnp.int32),
+                                jnp.int32(~IDX_MASK)),
+                            ti), jnp.float32)
+                    best = jnp.minimum(best, jnp.where(ok, packed, BIG))
+                return best
+
+            def chunk_bit(c):
+                return jnp.bitwise_and(
+                    jax.lax.shift_right_logical(cmask, c), 1) != 0
+
+            # Scheduling note (VERDICT r4 task 6, measured on the headline
+            # frame): two restructures of this loop LOSE — (a) running the
+            # min-chain as full (128, RAY_TILE) slab ops with a 128-row
+            # best accumulator: 40.5 vs 39.9 ms (the 16x8 loop is already
+            # element-bound, not overhead-bound); (b) double-buffering acc
+            # so chunk c+1's matmul issues before chunk c's sweep: 45.1 vs
+            # 39.9 ms (the pl.when chunk-cull blocks compile to scf.if
+            # regions that serialize, so no MXU/VPU overlap materializes
+            # and the extra control flow costs 13%).  Ledger:
+            # ROOFLINE_r05.json.
             def chunk_body(c, _):
-                @pl.when(jnp.bitwise_and(
-                    jax.lax.shift_right_logical(cmask, c), 1) != 0)
+                @pl.when(chunk_bit(c))
                 def _():
-                    # bf16 inputs, f32 accumulate: one MXU pass over the
-                    # KS-stacked operands IS the bf16x3 algorithm (the KS
-                    # docstring above); measured f32-parity radiance where
-                    # the naive f32 DEFAULT (bf16x1) drifted +3%
-                    acc_ref[...] = jax.lax.dot_general(
-                        pair_ref[c], rm, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    best = best_ref[...]
-                    for t0 in range(0, 128, 8):
-                        s1 = acc_ref[t0:t0 + 8]
-                        s2 = acc_ref[128 + t0:128 + t0 + 8]
-                        s3 = acc_ref[256 + t0:256 + t0 + 8]
-                        td = acc_ref[384 + t0:384 + t0 + 8]
-                        det = s1 + s2 + s3
-                        m = jnp.minimum(jnp.minimum(s1, s2),
-                                        jnp.minimum(s3, td))
-                        tt = td * pl.reciprocal(
-                            jnp.maximum(det, DET_EPS), approx=True)
-                        # no det>eps here: padding rows self-exclude via
-                        # their tdet=-1 constant (build_mxu_tables), and
-                        # grazing det<=eps survivors are rejected by the
-                        # exact winner retest like the production M-T
-                        ok = m >= 0.0
-                        ti = rowi + (c * 128 + t0)
-                        packed = jax.lax.bitcast_convert_type(
-                            jnp.bitwise_or(
-                                jnp.bitwise_and(
-                                    jax.lax.bitcast_convert_type(
-                                        tt, jnp.int32),
-                                    jnp.int32(~IDX_MASK)),
-                                ti), jnp.float32)
-                        best = jnp.minimum(best, jnp.where(ok, packed, BIG))
-                    best_ref[...] = best
+                    matmul_into(acc_ref, c)
+                    best_ref[0:8] = sweep8(acc_ref, c, best_ref[0:8])
                 return 0
 
             jax.lax.fori_loop(0, nc, chunk_body, 0)
-            bmin = jnp.min(best_ref[...].reshape(8, 8, 128), axis=0)
+            bmin = jnp.min(best_ref[0:8].reshape(8, 8, 128), axis=0)
             got = bmin < np.float32(1e29)
             win = jnp.bitwise_and(
                 jax.lax.bitcast_convert_type(bmin, jnp.int32),
@@ -432,7 +470,14 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                                                alive)
                     # winner attributes + EXACT t recovery (the packed t
                     # was approx-reciprocal + 11 masked mantissa bits,
-                    # ordering-only)
+                    # ordering-only).  NOTE the rejection scope (advisor
+                    # r4): when the min-sweep winner fails the exact
+                    # retest below (det_w <= eps or tdet_w < 0), the
+                    # WHOLE ray falls back to its sphere/miss result for
+                    # this bounce — the production M-T would instead
+                    # return the second-best triangle.  Window ~2^-17
+                    # grazing incidence; pinned by
+                    # tests/test_mxu.py::test_grazing_winner_rejection.
                     wlk = _mk_lookup(win, nc)
                     w_nx = wlk(lambda c: attr_ref[_A_NX, c])
                     w_ny = wlk(lambda c: attr_ref[_A_NY, c])
