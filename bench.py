@@ -46,24 +46,20 @@ def main() -> None:
     backend = os.environ.get("RTM_BENCH_BACKEND", "auto")
     repeats = int(os.environ.get("RTM_BENCH_REPEATS", 20))
 
-    if backend == "auto":
-        # committed interleaved A/B at the headline config
-        # (BENCH_BACKENDS_r04.json, TPU v5e): mxu 67.7 ms/frame vs
-        # megakernel 112.2 vs trav 185.9 — the round-4 MXU brute-force
-        # kernel is the fastest forward path for scenes inside its
-        # <=2047-triangle table limit (every built-in scene); beyond it
-        # render_dispatch auto-falls back trav -> megakernel (O(log T)
-        # scaling paths for large scenes).
-        backend = ("mxu" if jax.devices()[0].platform == "tpu"
-                   else "xla")
-
     from rtm_tpu import Camera, RenderConfig, build_tracer_scene, load_scene
-    from rtm_tpu.ops.trace_ref import render_dispatch
+    from rtm_tpu.ops.trace_ref import auto_backend, render_dispatch
 
     cfg = RenderConfig(width=width, height=height, max_bounces=bounces,
                        max_frames=spp, draw_environment=True, accumulate=True)
     scene = build_tracer_scene(load_scene(scene_id))
     cam = Camera().spec(cfg.width, cfg.height)
+
+    if backend == "auto":
+        # per-scene fastest-known resolution (ops.trace_ref.auto_backend,
+        # committed A/B evidence in BENCH_BACKENDS/BENCH_SCENES): mxu for
+        # the triangle headline scene on TPU, megakernel for
+        # sphere-dominated scenes, trav beyond the mxu table limits
+        backend = auto_backend(scene, jax.devices()[0].platform)
 
     # render_dispatch is itself @jax.jit (static cfg/backend); an outer jit
     # closing over scene would bake the texture tables into the HLO as

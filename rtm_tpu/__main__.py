@@ -58,12 +58,6 @@ def _setup(args, want_host_scene: bool = False):
     from rtm_tpu import (Camera, RenderConfig, build_tracer_scene,
                          load_scene)
     backend = args.backend
-    if backend == "auto":
-        # committed A/B: BENCH_BACKENDS_r04.json — the mxu kernel is the
-        # fastest forward path for scenes inside its table limits;
-        # render_dispatch auto-falls back trav -> megakernel beyond them
-        backend = ("mxu" if jax.devices()[0].platform == "tpu"
-                   else "xla")
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, max_frames=args.spp,
                        draw_environment=not args.no_environment)
@@ -76,6 +70,10 @@ def _setup(args, want_host_scene: bool = False):
     else:
         host = load_scene(args.scene)
     scene = build_tracer_scene(host, env_model=getattr(args, "env", "map"))
+    if backend == "auto":
+        # per-scene fastest-known resolution (ops.trace_ref.auto_backend)
+        from rtm_tpu.ops.trace_ref import auto_backend
+        backend = auto_backend(scene, jax.devices()[0].platform)
     if want_host_scene:
         return scene, cam, cfg, backend, host
     return scene, cam, cfg, backend

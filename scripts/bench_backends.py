@@ -65,9 +65,20 @@ def main() -> None:
         print(f"# compiled {backend} in {compile_s[backend]}s "
               f"(mean radiance {mean_rad[backend]:.6f})", flush=True)
 
+    # phase 1.5: one UNTIMED warmup block per backend, round-robin — the
+    # first post-compile block can run 3x its steady-state (r4's mxu row
+    # carried ms_max 207 from it); discarding it uniformly for every
+    # backend keeps the spread honest (VERDICT r4 weak #3 / task 8b)
+    fi = 2
+    for backend in backends:
+        for _ in range(max(2, repeats // 2)):
+            out = dispatch(backend, jnp.uint32(fi))
+            fi += 1
+        jax.block_until_ready(out)
+        _ = float(out.ravel()[0])
+
     # phase 2: interleaved timed blocks (round-robin)
     times = {b: [] for b in backends}
-    fi = 2
     for blk in range(blocks):
         for backend in backends:
             t0 = time.perf_counter()
@@ -96,14 +107,16 @@ def main() -> None:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    out_path = os.environ.get("RTM_BENCH_OUT", "BENCH_BACKENDS_r04.json")
+    out_path = os.environ.get("RTM_BENCH_OUT", "BENCH_BACKENDS_r05.json")
     with open(out_path, "w") as f:
         json.dump({
             "config": f"scene {scene_id} (Cornell+dragon), {width}x{height},"
                       f" {bounces} bounces, spp {spp}, TPU v5e",
             "protocol": f"interleaved round-robin A/B, {blocks} blocks x "
                         f"{repeats} frames per backend, median + min/max "
-                        "per row (VERDICT r3 task 3)",
+                        "per row (VERDICT r3 task 3); one untimed "
+                        "post-compile warmup block discarded uniformly "
+                        "per backend (r4 weak #3)",
             "rows": rows,
         }, f, indent=1)
     print(f"# wrote {out_path}", flush=True)

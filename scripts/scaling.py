@@ -294,6 +294,12 @@ def main() -> int:
 
     mp_rows = run_multiprocess(args, n_cores, s1)
 
+    # headline CSV: rows the hardware can actually parallelize (virtual
+    # rows with n <= physical cores + every real multiprocess row); the
+    # testbed-bound n > cores virtual rows go to the diagnostics file with
+    # the root cause (VERDICT r4 weak #8)
+    head_rows = [r for r in rows if r[0] <= n_cores]
+    diag_rows = [r for r in rows if r[0] > n_cores]
     with open(args.out, "w") as f:
         f.write(f"# weak scaling, {args.width}x{args.band}/device, "
                 f"scene {args.scene}, {args.bounces} bounces, "
@@ -309,7 +315,7 @@ def main() -> int:
                 f"{fwd_collectives} (zero by design -> linear weak "
                 f"scaling on real chips up to load imbalance)\n")
         f.write("devices,rays_per_s,efficiency,eff_vs_ceiling\n")
-        for n_dev, rps, eff, effc in rows:
+        for n_dev, rps, eff, effc in head_rows:
             f.write(f"{n_dev},{rps:.0f},{eff:.4f},{effc:.4f}\n")
         f.write("# multiprocess (jax.distributed, one PINNED process per "
                 "device — the real transport path; the in-process virtual "
@@ -317,6 +323,21 @@ def main() -> int:
         f.write("processes,rays_per_s,efficiency\n")
         for nproc, rps, eff in mp_rows:
             f.write(f"{nproc},{rps:.0f},{eff:.4f}\n")
+    if diag_rows:
+        diag = os.path.splitext(args.out)[0] + "_diag.csv"
+        with open(diag, "w") as f:
+            f.write("# TESTBED-BOUND diagnostics: virtual-mesh rows with "
+                    "n > physical cores.  Root cause (VERDICT r3 task 8): "
+                    "the XLA CPU client serializes virtual-device "
+                    "execution, so these rows measure core "
+                    "oversubscription, not framework scaling — the pinned "
+                    "multiprocess transport rows in the headline CSV are "
+                    "the real path (2x2 runs the same 4-device HLO at the "
+                    "2-core ceiling).\n")
+            f.write("devices,rays_per_s,efficiency,eff_vs_ceiling\n")
+            for n_dev, rps, eff, effc in diag_rows:
+                f.write(f"{n_dev},{rps:.0f},{eff:.4f},{effc:.4f}\n")
+        print(f"wrote {diag}")
     print(f"wrote {args.out}")
     print(f"forward collectives at {counts[-1]} devices: {fwd_collectives}")
     # the pass/fail judgment uses only configurations the hardware can
