@@ -479,18 +479,16 @@ def render_pixels(scene: TracerScene, cam: CameraSpec, x, y, frame_index,
 
 def auto_backend(scene: TracerScene, platform: str) -> str:
     """Resolve backend='auto' to the fastest KNOWN backend for this scene
-    on this platform (committed A/B evidence: BENCH_BACKENDS /
-    BENCH_SCENES artifacts).  On TPU: the mxu pair-test kernel for
-    triangle-dominated scenes inside its table limits; sphere-dominated
-    scenes (e.g. scene 2's three spheres over a 2-triangle plane) measured
-    ~8% faster through the megakernel's tile-uniform sphere loop
-    (BENCH_SCENES_r04.json: mega 47.8 vs mxu 52.0 ms) — n_tris < 16 with
-    spheres present is the static fact that separates them (VERDICT r4
-    weak #7).  Elsewhere: the XLA sweep."""
+    on this platform (committed A/B evidence: BENCH_SCENES_r05.json).
+    On TPU the mxu kernel wins EVERY built-in scene once the compact
+    post-pass landed (r5: scene 1 mxu 7.2 vs mega 8.2 ms, scene 2
+    26.9 vs 28.0, scene 3 44.0 vs 94.0, scene 4 11.5 vs 44.6 — the r4
+    scene-2 megakernel edge was the dense post-pass, now gone), so auto
+    is mxu inside its table limits and trav beyond them
+    (render_dispatch itself falls further to megakernel/wavefront2 by
+    table fit).  Elsewhere: the XLA sweep."""
     if platform != "tpu":
         return "xla"
-    if scene.num_triangles < 16 and scene.num_spheres > 0:
-        return "megakernel"
     mm = scene.mxu_meta
     if mm is not None and mm.supported:
         return "mxu"
