@@ -463,3 +463,32 @@ def test_silhouette_occluder_over_object_fd():
     fd = (float(loss(c0 + eps)) - float(loss(c0 - eps))) / (2 * eps)
     assert abs(fd) > 1e-4, fd
     np.testing.assert_allclose(g, fd, rtol=0.08, atol=1e-4)
+
+
+def test_inverse_render_mxu_replay_recovers_albedo():
+    """BASELINE config 5 through the PRODUCTION grad path: the optimizer
+    loop driven by the mxu record-replay gradients (round 5) recovers a
+    perturbed albedo — end-to-end, not just a grad-parity check."""
+    ts = _scene()
+    cam = Camera().spec(CFG.width, CFG.height)
+    true_params = extract_params(ts)
+    from rtm_tpu.ops.trace_ref import render_dispatch
+    target = render_dispatch(ts, cam, FI, CFG)
+
+    p0 = true_params.__class__(**{
+        **true_params.__dict__,
+        "albedo": true_params.albedo.at[0].set(
+            jnp.asarray([0.3, 0.6, 0.6])),
+    })
+    opt_cfg = InverseRenderConfig(steps=80, learning_rate=4e-2,
+                                  remat=False, vary_seed=False,
+                                  backend="mxu_interpret")
+    mask = jax.tree.map(jnp.zeros_like, p0)
+    mask = mask.__class__(**{**mask.__dict__,
+                             "albedo": jnp.ones_like(p0.albedo)})
+    p_fit, losses = inverse_render(ts, cam, target, CFG, opt_cfg,
+                                   init_params=p0, param_mask=mask)
+    assert losses[-1] < losses[0] * 0.1, (losses[0], losses[-1])
+    np.testing.assert_allclose(np.asarray(p_fit.albedo[0]),
+                               np.asarray(true_params.albedo[0]),
+                               atol=0.08)
