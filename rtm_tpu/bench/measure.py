@@ -37,11 +37,15 @@ def run_measure(scene: TracerScene, cfg: RenderConfig,
     from ..ops.trace_ref import render_dispatch
 
     cam = camera or Camera()
-    f = jax.jit(lambda spec, fi: render_dispatch(scene, spec, fi, cfg,
-                                                 backend=backend))
+    # scene as a jit ARGUMENT: closing over it bakes the texture tables
+    # into the HLO as constants, which the axon remote-compile tunnel
+    # rejects with HTTP 413 (render_dispatch is itself jitted, so this
+    # wrapper only fixes the camera-spec/frame plumbing)
+    f = jax.jit(lambda sc, spec, fi: render_dispatch(sc, spec, fi, cfg,
+                                                     backend=backend))
     # warm the compile outside the timed loop
     cam.orbit(0.0, radius)
-    np.asarray(f(cam.spec(cfg.width, cfg.height), jnp.uint32(1)))
+    np.asarray(f(scene, cam.spec(cfg.width, cfg.height), jnp.uint32(1)))
 
     rows = []
     angle = 0.0
@@ -54,7 +58,7 @@ def run_measure(scene: TracerScene, cfg: RenderConfig,
             out = None
             for k in range(frames_per_sample):
                 frame_index += 1
-                out = f(spec, jnp.uint32(frame_index))
+                out = f(scene, spec, jnp.uint32(frame_index))
             np.asarray(out)
             avg_ms = (time.perf_counter() - t0) * 1000.0 / frames_per_sample
             fh.write(f"{angle:g} {avg_ms:g}\n")
