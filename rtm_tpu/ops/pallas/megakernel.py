@@ -44,7 +44,6 @@ post-pass from the recorded sphere normal.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import NamedTuple
 
