@@ -86,15 +86,6 @@ HR_SPH = 1 << 15
 HR_IDX = 0xFFF
 
 
-def get_sweep_mode() -> str:
-    """Min-sweep scheduling knob (A/B'd in ROOFLINE_r05.json):
-    'pair' (default) double-buffers the matmul accumulator so the MXU
-    streams chunk c+1 while the VPU min-chains chunk c; 'step8' is the
-    round-4 serial loop (one acc buffer); a full-slab rewrite of the
-    min-chain itself measured a wash (40.5 vs 39.9 ms) and was dropped."""
-    import os
-    return os.environ.get("RTM_MXU_SWEEP", "pair")
-
 # attribute gather table rows (mxu_attr)
 _A_NX, _A_NY, _A_NZ, _A_ANDOT = 0, 1, 2, 3
 _A_SNX, _A_SNY, _A_SNZ = 4, 5, 6
