@@ -1352,12 +1352,12 @@ def mega_postpass_compact(color, miss, rec, scene: TracerScene,
 
       1. a SIGNIFICANT mask per slot — textured (needs a texel) or
          emissive (contributes s_term * pt) — built elementwise;
-      2. ONE `lax.top_k` over the negated ray-major slot ids with a
-         "not significant" high bit: the cap smallest keys, ascending,
-         ARE the compact slot list, grouped by ray with bounces ascending
+      2. ONE single-operand `lax.sort` of the ray-major slot ids with a
+         "not significant" high bit: the first cap sorted keys ARE the
+         compact slot list, grouped by ray with bounces ascending
          (the r4 gather matrix priced sort-compaction as break-even only
          because it scattered results back to (B, N) at ~24 ms — this
-         form never scatters, and top_k costs 1/4 of the full sort);
+         form never scatters; ~3.4 ms fused in-frame);
       3. one gather of the packed 8-field records at those slots, one
          texture tap per compact slot (sample_texture_quads), and the
          emission/albedo chain of shader:575-586 evaluated IN COMPACT
@@ -1407,15 +1407,18 @@ def mega_postpass_compact(color, miss, rec, scene: TracerScene,
             slot = jnp.arange(nb, dtype=jnp.int32)
             key = slot | jnp.where(sig_rays.reshape(-1), 0,
                                    jnp.int32(1) << bits)
-            # top_k of the negated keys = the cap smallest keys in
-            # ascending order — the same compaction as lax.sort(key)[:cap]
-            # at 1/4 the cost (13.7 -> 3.5 ms on the 2^21-slot headline,
-            # POSTPASS_r05.json micros).  RTM_COMPACT_PRIM=sort keeps the
-            # sort form for A/B.
-            if os.environ.get("RTM_COMPACT_PRIM") == "sort":
-                skey = jax.lax.sort(key, is_stable=False)[:cap]
-            else:
+            # Compaction primitive: single-operand lax.sort, sliced.
+            # lax.top_k(-key, cap) computes the same thing and its
+            # STANDALONE micro reads 4x faster (3.5 vs 13.7 ms,
+            # POSTPASS_r05.json) — but that number is a DCE illusion
+            # (only element 0 was consumed); consuming all cap elements
+            # in-frame, sort wins the back-to-back headline bench 39.0
+            # vs 40.9 ms.  RTM_COMPACT_PRIM=topk keeps the top_k form
+            # for A/B.
+            if os.environ.get("RTM_COMPACT_PRIM") == "topk":
                 skey = -jax.lax.top_k(-key, cap)[0]
+            else:
+                skey = jax.lax.sort(key, is_stable=False)[:cap]
             valid = skey < (jnp.int32(1) << bits)
             perm = skey & ((jnp.int32(1) << bits) - 1)
 

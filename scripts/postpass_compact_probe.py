@@ -78,7 +78,7 @@ def main():
     # scene as jit ARG (HTTP 413 otherwise)
     dense = jax.jit(lambda c, m, r, sc: M.mega_postpass_dense(
         c, m, r, sc, cfg, n))
-    os.environ.pop("RTM_COMPACT_PRIM", None)
+    os.environ.pop("RTM_COMPACT_PRIM", None)     # default = sort
     compact = jax.jit(lambda c, m, r, sc: M.mega_postpass_compact(
         c, m, r, sc, cfg, n))
     a = np.asarray(dense(color, miss, rec, scene))
@@ -88,19 +88,19 @@ def main():
     results["parity_max_abs_diff"] = diff
     assert diff < 1e-4, "compact post-pass diverged from dense"
 
-    os.environ["RTM_COMPACT_PRIM"] = "sort"
-    compact_sort = jax.jit(lambda c, m, r, sc: M.mega_postpass_compact(
+    os.environ["RTM_COMPACT_PRIM"] = "topk"
+    compact_alt = jax.jit(lambda c, m, r, sc: M.mega_postpass_compact(
         c, m, r, sc, cfg, n))
-    _ = np.asarray(compact_sort(color, miss, rec, scene))
+    _ = np.asarray(compact_alt(color, miss, rec, scene))
     os.environ.pop("RTM_COMPACT_PRIM", None)
 
     # interleaved A/B/C: two rounds each, report the better round
     for rd in (1, 2):
         timeit(f"postpass dense (B*N taps) r{rd}", dense,
                color, miss, rec, scene)
-        timeit(f"postpass compact (topk+segscan) r{rd}", compact,
+        timeit(f"postpass compact (sort+segscan) r{rd}", compact,
                color, miss, rec, scene)
-        timeit(f"postpass compact (sort+segscan) r{rd}", compact_sort,
+        timeit(f"postpass compact (topk+segscan) r{rd}", compact_alt,
                color, miss, rec, scene)
 
     # ---- stats ------------------------------------------------------------
