@@ -17,7 +17,9 @@ until-then-idle MXU runs the ray-triangle pair test as a matmul:
   tile-uniform VPU sweep pays ~55 us.  Morton-ordered chunks are culled
   per (tile, bounce) against their bboxes with one scalar bitmask.
 
-Per bounce, per (8,128)-vreg ray tile (1024 rays):
+Per bounce, per (S,128)-vreg ray tile (S = tile/128 sublanes; the tile
+width auto-picks the widest of 4096/2048/1024 dividing the dispatch —
+wider tiles amortize the per-bounce serial phases, MXU_SPLIT_r05.json):
   1. spheres: scalar SMEM loop (vreg_common.sphere_nearest_smem);
   2. ray features written to a (16, 8, 128) scratch, read back as the
      (16, 1024) matmul operand (one relayout per bounce);
@@ -44,6 +46,7 @@ identical to ops/pallas/megakernel.py.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -64,7 +67,13 @@ from .vreg_common import (NO_TEX, camera_frame, fetch_mat_attrs,
                           fetch_sph_attrs, jittered_ray, scatter_step,
                           sphere_nearest_smem, tex_uv)
 
-RAY_TILE = 1024              # rays per grid step: one (8,128) vreg
+# Rays per grid step.  1024 = one (8,128) vreg of rays; the r5 width A/B
+# (scripts/mxu_probe.py tile sweep) measures wider tiles: the chunk
+# matmul+sweep phase is at its FLOPs/op floor, but the per-bounce serial
+# phases (winner gathers, scatter, shading — long dependency chains of
+# 1-vreg ops) amortize over tile width because each instruction then
+# covers S=TILE/128 vregs back-to-back.
+RAY_TILE = int(os.environ.get("RTM_MXU_TILE", "1024"))
 K = 16                       # ray feature depth: [d, oxd, o, 1] pad 10->16
 # Matmul precision: the MXU multiplies in bf16.  A single bf16 pass flips
 # ~4e-5 of near-edge side signs (measured: +3% radiance drift at 512^2);
@@ -238,8 +247,24 @@ def build_mxu_tables(tri_wa, tri_wb, tri_wc, tri_normal, tri_mat,
 
 def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                      max_bounces, max_frames, textured, width, height,
-                     emit_hitrec=False):
-    shape = (8, 128)
+                     emit_hitrec=False, ray_tile=None):
+    ray_tile = ray_tile or RAY_TILE
+    s_sub = ray_tile // 128
+    shape = (s_sub, 128)
+    # internal-split probe (scripts/mxu_probe.py): disables one stage per
+    # build (comma-separated to combine) so wall-clock deltas isolate
+    # stages.  Production = unset.
+    _probe = frozenset(
+        p for p in os.environ.get("RTM_MXU_PROBE", "").split(",") if p)
+
+    class _P:
+        def __eq__(self, other):
+            return other in _probe
+
+        def __ne__(self, other):
+            return other not in _probe
+
+    probe = _P()
 
     def kernel(*refs):
         it = iter(refs)
@@ -265,6 +290,8 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
         rayb = next(it)                       # (KS,8,128) bf16 scratch
         acc_ref = next(it)                    # (Q*128,1024) f32 scratch
         best_ref = next(it)                   # (8,1024) f32 scratch
+        wattr_ref = next(it)                  # (A_ROWS,S,128) f32 scratch
+        winf_ref = next(it)                   # (S,128) i32 scratch
 
         if textured:
             rec_ref[:, :, :] = jnp.zeros(
@@ -275,7 +302,7 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
         frame_index = fidx[0, 0]
         srow = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         lrow = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        base = pl.program_id(0) * RAY_TILE + pix0[0, 0]
+        base = pl.program_id(0) * ray_tile + pix0[0, 0]
         lin = base + srow * 128 + lrow
         if use_block8(width, height):
             xpix, ypix = slot_to_xy(lin, width)
@@ -289,7 +316,7 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
             rayf[9] = jnp.ones(shape, jnp.float32)
             for j in range(10, K):
                 rayf[j] = jnp.zeros(shape, jnp.float32)
-            rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 1024), 0)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (8, ray_tile), 0)
 
         col_r = jnp.zeros(shape, jnp.float32)
         col_g = jnp.zeros(shape, jnp.float32)
@@ -324,13 +351,13 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
             rayb[0:K] = b_hi
             rayb[K:2 * K] = b_lo
             rayb[2 * K:3 * K] = b_hi
-            rm = rayb[...].reshape(KS, RAY_TILE)
-            best_ref[...] = jnp.full((8, RAY_TILE), BIG, jnp.float32)
+            rm = rayb[...].reshape(KS, ray_tile)
+            best_ref[...] = jnp.full((8, ray_tile), BIG, jnp.float32)
 
             # ---- chunk cull mask (one scalar sync per bounce) ----------
             inv_dx, inv_dy, inv_dz = _safe_inv_dirs(dx, dy, dz)
             lanemask = jnp.zeros(shape, jnp.int32)
-            for c in range(nc):
+            for c in range(nc if probe != "nocull" else 0):
                 t1x = (cbox_ref[c, 0] - ox) * inv_dx
                 t2x = (cbox_ref[c, 3] - ox) * inv_dx
                 t1y = (cbox_ref[c, 1] - oy) * inv_dy
@@ -348,13 +375,16 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                 hit_c = (tf >= 0.0) & (tn <= tf) & alive
                 lanemask = jnp.bitwise_or(
                     lanemask, hit_c.astype(jnp.int32) << c)
-            for sh in (1, 2, 4, 8, 16, 32, 64):
-                lanemask = jnp.bitwise_or(
-                    lanemask, jnp.roll(lanemask, sh, axis=1))
-            for sh in (1, 2, 4):
-                lanemask = jnp.bitwise_or(
-                    lanemask, jnp.roll(lanemask, sh, axis=0))
-            cmask = lanemask[0, 0]
+            if probe != "nocull":
+                for sh in (1, 2, 4, 8, 16, 32, 64):
+                    lanemask = jnp.bitwise_or(
+                        lanemask, jnp.roll(lanemask, sh, axis=1))
+                sh = 1
+                while sh < s_sub:
+                    lanemask = jnp.bitwise_or(
+                        lanemask, jnp.roll(lanemask, sh, axis=0))
+                    sh *= 2
+                cmask = lanemask[0, 0]
 
             def matmul_into(dst, c):
                 # bf16 inputs, f32 accumulate: one MXU pass over the
@@ -402,9 +432,10 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                     best = jnp.minimum(best, jnp.where(ok, packed, BIG))
                 return best
 
-            def chunk_bit(c):
-                return jnp.bitwise_and(
-                    jax.lax.shift_right_logical(cmask, c), 1) != 0
+            if probe != "nocull":
+                def chunk_bit(c):
+                    return jnp.bitwise_and(
+                        jax.lax.shift_right_logical(cmask, c), 1) != 0
 
             # Scheduling note (VERDICT r4 task 6, measured on the headline
             # frame): two restructures of this loop LOSE — (a) running the
@@ -416,20 +447,36 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
             # regions that serialize, so no MXU/VPU overlap materializes
             # and the extra control flow costs 13%).  Ledger:
             # ROOFLINE_r05.json.
-            def chunk_body(c, _):
-                @pl.when(chunk_bit(c))
-                def _():
+            def chunk_work(c):
+                if probe != "nomm":
                     matmul_into(acc_ref, c)
+                if probe == "nosweep":
+                    # consume ONE 8-row group so the matmul is not dead
+                    best_ref[0:8] = jnp.minimum(best_ref[0:8],
+                                                acc_ref[0:8])
+                else:
                     best_ref[0:8] = sweep8(acc_ref, c, best_ref[0:8])
-                return 0
+
+            if probe == "nocull":
+                def chunk_body(c, _):
+                    chunk_work(c)
+                    return 0
+            else:
+                def chunk_body(c, _):
+                    @pl.when(chunk_bit(c))
+                    def _():
+                        matmul_into(acc_ref, c)
+                        best_ref[0:8] = sweep8(acc_ref, c, best_ref[0:8])
+                    return 0
 
             jax.lax.fori_loop(0, nc, chunk_body, 0)
-            bmin = jnp.min(best_ref[0:8].reshape(8, 8, 128), axis=0)
+            bmin = jnp.min(best_ref[0:8].reshape(8, s_sub, 128), axis=0)
             got = bmin < np.float32(1e29)
             win = jnp.bitwise_and(
                 jax.lax.bitcast_convert_type(bmin, jnp.int32),
                 jnp.int32(IDX_MASK))
-            return got, jnp.clip(win, 0, max(n_tris - 1, 0))
+            cbit = None if probe == "nocull" else chunk_bit
+            return got, jnp.clip(win, 0, max(n_tris - 1, 0)), cbit
 
         for frame in range(1, max_frames + 1):
             seed = lin_u + U32(frame) * frame_index * SEED_STRIDE
@@ -449,7 +496,7 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
             for b in range(max_bounces):
                 seed = seed + U32(b)                         # shader:659
 
-                if have_sph:
+                if have_sph and probe != "nosph":
                     t_sph, s_idx = sphere_nearest_smem(
                         sph_smem, n_sph_pad, shape, ox, oy, oz, dx, dy, dz)
                 else:
@@ -457,8 +504,8 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                     s_idx = jnp.zeros(shape, jnp.int32)
 
                 if have_tris:
-                    got, win = nearest_tri_mxu(ox, oy, oz, dx, dy, dz,
-                                               alive)
+                    got, win, cbit = nearest_tri_mxu(ox, oy, oz, dx, dy,
+                                                     dz, alive)
                     # winner attributes + EXACT t recovery (the packed t
                     # was approx-reciprocal + 11 masked mantissa bits,
                     # ordering-only).  NOTE the rejection scope (advisor
@@ -469,15 +516,166 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                     # return the second-best triangle.  Window ~2^-17
                     # grazing incidence; pinned by
                     # tests/test_mxu.py::test_grazing_winner_rejection.
-                    wlk = _mk_lookup(win, nc)
-                    w_nx = wlk(lambda c: attr_ref[_A_NX, c])
-                    w_ny = wlk(lambda c: attr_ref[_A_NY, c])
-                    w_nz = wlk(lambda c: attr_ref[_A_NZ, c])
-                    w_an = wlk(lambda c: attr_ref[_A_ANDOT, c])
-                    w_snx = wlk(lambda c: attr_ref[_A_SNX, c])
-                    w_sny = wlk(lambda c: attr_ref[_A_SNY, c])
-                    w_snz = wlk(lambda c: attr_ref[_A_SNZ, c])
-                    w_info = wlk(lambda c: info_ref[c])
+                    if probe == "cheapgather":
+                        # keep the DATAFLOW of the winner-attribute fetch
+                        # (depends on win + the tables, feeds the same
+                        # consumers with non-constant values) but replace
+                        # the per-lane gathers with 2 cheap vreg ops each,
+                        # so the delta vs full isolates the gather OPs
+                        # without letting the compiler constant-fold the
+                        # downstream shading (the nogather lesson).
+                        wf = win.astype(jnp.float32) * 1e-30
+                        w_nx = attr_ref[_A_NX, 0] + wf
+                        w_ny = attr_ref[_A_NY, 0] + wf
+                        w_nz = attr_ref[_A_NZ, 0] + wf
+                        w_an = attr_ref[_A_ANDOT, 0] + wf
+                        w_snx = attr_ref[_A_SNX, 0] + wf
+                        w_sny = attr_ref[_A_SNY, 0] + wf
+                        w_snz = attr_ref[_A_SNZ, 0] + wf
+                        w_info = info_ref[0] + win
+                    elif probe == "nogather":
+                        one = jnp.ones(shape, jnp.float32)
+                        zero0 = jnp.zeros(shape, jnp.float32)
+                        w_nx = w_ny = zero0
+                        w_nz = one
+                        w_an = zero0
+                        w_snx = w_sny = zero0
+                        w_snz = one
+                        w_info = jnp.full(shape, NO_TEX << 8, jnp.int32)
+                    elif probe == "ghalf":
+                        # marginal-cost probe: 5 of 8 lookups real, the
+                        # shading normal faked cheaply — if the section
+                        # cost is linear in lookup count, this lands at
+                        # full - 3/8 * gather_section.
+                        wlk = _mk_lookup(win, nc)
+                        w_nx = wlk(lambda c: attr_ref[_A_NX, c])
+                        w_ny = wlk(lambda c: attr_ref[_A_NY, c])
+                        w_nz = wlk(lambda c: attr_ref[_A_NZ, c])
+                        w_an = wlk(lambda c: attr_ref[_A_ANDOT, c])
+                        w_snx = w_nx * 0.5
+                        w_sny = w_ny * 0.5
+                        w_snz = w_nz * 0.5
+                        w_info = wlk(lambda c: info_ref[c])
+                    elif probe == "gtree":
+                        # ILP-friendly variant of _mk_lookup: all chunk
+                        # gathers are independent, the merge is a masked
+                        # AND/OR tree on the bitcast i32 values instead of
+                        # the 15-deep serial where-chain.
+                        lane_ = jnp.bitwise_and(win, 127)
+                        wc_ = jax.lax.shift_right_logical(win, 7)
+                        masks = [(wc_ == c).astype(jnp.int32) * (-1)
+                                 for c in range(nc)]
+
+                        def tree_lookup(get_chunk, as_f32=True):
+                            parts = []
+                            for c in range(nc):
+                                g = jnp.take_along_axis(
+                                    get_chunk(c), lane_, axis=1)
+                                if as_f32:
+                                    g = jax.lax.bitcast_convert_type(
+                                        g, jnp.int32)
+                                parts.append(
+                                    jnp.bitwise_and(g, masks[c]))
+                            while len(parts) > 1:
+                                parts = [
+                                    jnp.bitwise_or(parts[i],
+                                                   parts[i + 1])
+                                    if i + 1 < len(parts) else parts[i]
+                                    for i in range(0, len(parts), 2)]
+                            out = parts[0]
+                            if as_f32:
+                                out = jax.lax.bitcast_convert_type(
+                                    out, jnp.float32)
+                            return out
+
+                        w_nx = tree_lookup(lambda c: attr_ref[_A_NX, c])
+                        w_ny = tree_lookup(lambda c: attr_ref[_A_NY, c])
+                        w_nz = tree_lookup(lambda c: attr_ref[_A_NZ, c])
+                        w_an = tree_lookup(
+                            lambda c: attr_ref[_A_ANDOT, c])
+                        w_snx = tree_lookup(lambda c: attr_ref[_A_SNX, c])
+                        w_sny = tree_lookup(lambda c: attr_ref[_A_SNY, c])
+                        w_snz = tree_lookup(lambda c: attr_ref[_A_SNZ, c])
+                        w_info = tree_lookup(lambda c: info_ref[c],
+                                             as_f32=False)
+                    elif probe == "gloop":
+                        # pressure-minimizing variant: gather-accumulate
+                        # through VMEM scratch, one chunk at a time, no
+                        # lane-position state kept live across chunks.
+                        wattr_ref[...] = jnp.zeros(
+                            (A_ROWS,) + shape, jnp.float32)
+                        winf_ref[...] = jnp.zeros(shape, jnp.int32)
+                        wc_ = jax.lax.shift_right_logical(win, 7)
+                        lane_ = jnp.bitwise_and(win, 127)
+
+                        def gbody2(c, _):
+                            inc = wc_ == c
+                            for row in range(7):
+                                g = jnp.take_along_axis(
+                                    attr_ref[row, c], lane_, axis=1)
+                                wattr_ref[row] = jnp.where(
+                                    inc, g, wattr_ref[row])
+                            gi = jnp.take_along_axis(
+                                info_ref[c], lane_, axis=1)
+                            winf_ref[...] = jnp.where(
+                                inc, gi, winf_ref[...])
+                            return 0
+
+                        jax.lax.fori_loop(0, nc, gbody2, 0)
+                        w_nx = wattr_ref[_A_NX]
+                        w_ny = wattr_ref[_A_NY]
+                        w_nz = wattr_ref[_A_NZ]
+                        w_an = wattr_ref[_A_ANDOT]
+                        w_snx = wattr_ref[_A_SNX]
+                        w_sny = wattr_ref[_A_SNY]
+                        w_snz = wattr_ref[_A_SNZ]
+                        w_info = winf_ref[...]
+                    elif probe == "gcull" and cbit is not None:
+                        # chunk-CULLED winner-attribute fetch: a chunk no
+                        # live lane can touch (cmask bit 0) cannot hold
+                        # any ray's winner, so its 8 gathers are skipped
+                        # entirely — the same mask that already skips its
+                        # matmul + sweep.
+                        wattr_ref[...] = jnp.zeros(
+                            (A_ROWS,) + shape, jnp.float32)
+                        winf_ref[...] = jnp.zeros(shape, jnp.int32)
+                        wc_ = jax.lax.shift_right_logical(win, 7)
+                        lane_ = jnp.bitwise_and(win, 127)
+
+                        def gbody(c, _):
+                            @pl.when(cbit(c))
+                            def _():
+                                inc = wc_ == c
+                                for row in range(7):
+                                    g = jnp.take_along_axis(
+                                        attr_ref[row, c], lane_, axis=1)
+                                    wattr_ref[row] = jnp.where(
+                                        inc, g, wattr_ref[row])
+                                gi = jnp.take_along_axis(
+                                    info_ref[c], lane_, axis=1)
+                                winf_ref[...] = jnp.where(
+                                    inc, gi, winf_ref[...])
+                            return 0
+
+                        jax.lax.fori_loop(0, nc, gbody, 0)
+                        w_nx = wattr_ref[_A_NX]
+                        w_ny = wattr_ref[_A_NY]
+                        w_nz = wattr_ref[_A_NZ]
+                        w_an = wattr_ref[_A_ANDOT]
+                        w_snx = wattr_ref[_A_SNX]
+                        w_sny = wattr_ref[_A_SNY]
+                        w_snz = wattr_ref[_A_SNZ]
+                        w_info = winf_ref[...]
+                    else:
+                        wlk = _mk_lookup(win, nc)
+                        w_nx = wlk(lambda c: attr_ref[_A_NX, c])
+                        w_ny = wlk(lambda c: attr_ref[_A_NY, c])
+                        w_nz = wlk(lambda c: attr_ref[_A_NZ, c])
+                        w_an = wlk(lambda c: attr_ref[_A_ANDOT, c])
+                        w_snx = wlk(lambda c: attr_ref[_A_SNX, c])
+                        w_sny = wlk(lambda c: attr_ref[_A_SNY, c])
+                        w_snz = wlk(lambda c: attr_ref[_A_SNZ, c])
+                        w_info = wlk(lambda c: info_ref[c])
                     det_w = -(dx * w_nx + dy * w_ny + dz * w_nz)
                     tdet_w = ox * w_nx + oy * w_ny + oz * w_nz - w_an
                     t_ex = tdet_w / jnp.maximum(det_w, DET_EPS)
@@ -615,9 +813,23 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
                     ctr_g = ctr_g * (1.0 - livef + livef * alg)
                     ctr_b = ctr_b * (1.0 - livef + livef * alb)
 
-                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_seed = scatter_step(
-                    dx, dy, dz, nxh, nyh, nzh, hx, hy, hz,
-                    rough, metal, refr, seed)
+                if probe == "mirrorscatter":
+                    # dataflow-preserving cheap scatter: mirror reflect
+                    # (depends on normal + hit point, no RNG draws)
+                    ddn_p = dx * nxh + dy * nyh + dz * nzh
+                    n_ox, n_oy, n_oz = hx, hy, hz
+                    n_dx = dx - 2.0 * ddn_p * nxh
+                    n_dy = dy - 2.0 * ddn_p * nyh
+                    n_dz = dz - 2.0 * ddn_p * nzh
+                    n_seed = seed + U32(1)
+                elif probe == "noscatter":
+                    n_ox, n_oy, n_oz = hx, hy, hz
+                    n_dx, n_dy, n_dz, n_seed = dx, dy, dz, seed
+                else:
+                    (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+                     n_seed) = scatter_step(
+                        dx, dy, dz, nxh, nyh, nzh, hx, hy, hz,
+                        rough, metal, refr, seed)
 
                 ox = _select(live, n_ox, ox)
                 oy = _select(live, n_oy, oy)
@@ -655,7 +867,8 @@ def _make_mxu_kernel(*, n_tris, nc, n_sph_pad, have_tris, have_sph,
 
 def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
                     pixel_offset, n_rays: int, interpret: bool = False,
-                    skip_postpass: bool = False, return_hitrec: bool = False):
+                    skip_postpass: bool = False, return_hitrec: bool = False,
+                    ray_tile: int | None = None):
     """Trace dispatch slots [pixel_offset, pixel_offset + n_rays) — same
     contract as megakernel.render_rays_megakernel / render_rays_trav.
 
@@ -664,8 +877,19 @@ def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
     record-replay differentiable path (diff/replay.py)."""
     w, h = cfg.width, cfg.height
     n = n_rays
-    n_pad = -(-n // RAY_TILE) * RAY_TILE
-    n_tiles = n_pad // RAY_TILE
+    if ray_tile is None:
+        if os.environ.get("RTM_MXU_TILE"):
+            ray_tile = RAY_TILE
+        else:
+            # widest tile that divides the dispatch (no padding waste):
+            # the r5 width A/B (MXU_SPLIT_r05.json) measured 4096 ~1.5 ms
+            # faster than 1024 at the headline config — the per-bounce
+            # serial phases amortize over S=tile/128 sublanes.
+            ray_tile = next((t for t in (4096, 2048, 1024)
+                             if n % t == 0), 1024)
+    s_sub = ray_tile // 128
+    n_pad = -(-n // ray_tile) * ray_tile
+    n_tiles = n_pad // ray_tile
     bounces = cfg.max_bounces
     frames = cfg.max_frames
     textured = scene.any_textured
@@ -694,42 +918,53 @@ def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
             arr.shape, lambda i, nd=nd: (0,) * nd, memory_space=pltpu.VMEM))
         inputs.append(jnp.asarray(arr))
 
+    def rep_sub(tab):
+        """Gather tables are sublane-REPLICATED (all 8 sublanes equal);
+        widen the replication to the s_sub-sublane ray tile."""
+        if s_sub == 8:
+            return tab
+        tab = jnp.asarray(tab)
+        shp = tab.shape[:-2] + (s_sub, tab.shape[-1])
+        return jnp.broadcast_to(tab[..., :1, :], shp)
+
     if have_tris:
         vmem_full(ma.pair)
-        vmem_full(ma.attr)
-        vmem_full(ma.info)
+        vmem_full(rep_sub(ma.attr))
+        vmem_full(rep_sub(ma.info))
         in_specs.append(pl.BlockSpec(ma.cbox.shape, const2,
                                      memory_space=pltpu.SMEM))
         inputs.append(jnp.asarray(ma.cbox))
-    vmem_full(traced_mat_tab(scene.materials))
+    vmem_full(rep_sub(traced_mat_tab(scene.materials)))
     if textured:
-        vmem_full(traced_tex_tab(scene, mm.textured_rows))
+        vmem_full(rep_sub(traced_tex_tab(scene, mm.textured_rows)))
     n_sph_pad = 0
     if have_sph:
         sph_tab, sph_smem = traced_sph_tabs(scene)
         n_sph_pad = sph_smem.shape[0]
-        vmem_full(sph_tab)
+        vmem_full(rep_sub(sph_tab))
         in_specs.append(pl.BlockSpec((n_sph_pad, 16), const2,
                                      memory_space=pltpu.SMEM))
         inputs.append(sph_smem)
 
-    out_shape = [jax.ShapeDtypeStruct((8, n_tiles * 8, 128), jnp.float32),
-                 jax.ShapeDtypeStruct((8 * frames, n_tiles * 8, 128),
+    out_shape = [jax.ShapeDtypeStruct((8, n_tiles * s_sub, 128),
+                                      jnp.float32),
+                 jax.ShapeDtypeStruct((8 * frames, n_tiles * s_sub, 128),
                                       jnp.float32)]
-    out_specs = [pl.BlockSpec((8, 8, 128), lambda i: (0, i, 0),
+    out_specs = [pl.BlockSpec((8, s_sub, 128), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((8 * frames, 8, 128), lambda i: (0, i, 0),
+                 pl.BlockSpec((8 * frames, s_sub, 128),
+                              lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)]
     if textured:
         out_shape.append(jax.ShapeDtypeStruct(
-            (8 * frames * bounces, n_tiles * 8, 128), jnp.float32))
-        out_specs.append(pl.BlockSpec((8 * frames * bounces, 8, 128),
+            (8 * frames * bounces, n_tiles * s_sub, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((8 * frames * bounces, s_sub, 128),
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM))
     if return_hitrec:
         out_shape.append(jax.ShapeDtypeStruct(
-            (frames * bounces, n_tiles * 8, 128), jnp.int32))
-        out_specs.append(pl.BlockSpec((frames * bounces, 8, 128),
+            (frames * bounces, n_tiles * s_sub, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((frames * bounces, s_sub, 128),
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM))
 
@@ -737,13 +972,16 @@ def render_rays_mxu(scene, cam: CameraSpec, frame_index, cfg: RenderConfig,
         n_tris=mm.n_tris, nc=mm.nc, n_sph_pad=n_sph_pad,
         have_tris=have_tris, have_sph=have_sph,
         max_bounces=bounces, max_frames=frames, textured=textured,
-        width=w, height=h, emit_hitrec=return_hitrec)
+        width=w, height=h, emit_hitrec=return_hitrec,
+        ray_tile=ray_tile)
 
     scratch = [
-        pltpu.VMEM((K, 8, 128), jnp.float32),       # ray features f32
-        pltpu.VMEM((KS, 8, 128), jnp.bfloat16),     # bf16x3 K-stack
-        pltpu.VMEM((Q * 128, RAY_TILE), jnp.float32),   # matmul chunk out
-        pltpu.VMEM((8, RAY_TILE), jnp.float32),     # packed best (8 rows)
+        pltpu.VMEM((K, s_sub, 128), jnp.float32),   # ray features f32
+        pltpu.VMEM((KS, s_sub, 128), jnp.bfloat16),  # bf16x3 K-stack
+        pltpu.VMEM((Q * 128, ray_tile), jnp.float32),   # matmul chunk out
+        pltpu.VMEM((8, ray_tile), jnp.float32),     # packed best (8 rows)
+        pltpu.VMEM((A_ROWS, s_sub, 128), jnp.float32),  # winner attrs
+        pltpu.VMEM((s_sub, 128), jnp.int32),        # winner info
     ]
 
     try:
